@@ -1,0 +1,223 @@
+"""Rotated-box IoU / GIoU, 2D and 3D — fully vectorized, static-shape lax.
+
+TPU-native replacement of the reference's CUDA vertex-sort op
+(/root/reference/aloscene/utils/rotated_iou/cuda_op/sort_vert_kernel.cu:15 and
+the differentiable wrappers oriented_iou_loss.py:39-152). The reference sorts
+the <=8 vertices of the convex intersection polygon on GPU with a custom
+kernel (MAX_NUM_VERT_IDX=9); on TPU the same computation is a static-shape
+masked argsort over 24 candidate vertices — pure jnp, differentiable, vmap-
+and jit-friendly, no custom kernel needed.
+
+Element-wise pair semantics match ``cal_iou`` (oriented_iou_loss.py:39):
+inputs (..., 5) as [x, y, w, h, alpha] -> iou of corresponding pairs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+# 24 candidates: 16 edge-edge intersections + 4 corners of box1 in box2 + 4 of
+# box2 in box1 (box_intersection_2d.py semantics)
+_NUM_CANDIDATES = 24
+
+
+def box2corners(boxes):
+    """(..., 5) [x, y, w, h, alpha] -> (..., 4, 2) corners, CCW order
+    (box_intersection_2d.py: box2corners_th)."""
+    x, y, w, h, alpha = (boxes[..., i] for i in range(5))
+    dx = jnp.stack([w / 2, -w / 2, -w / 2, w / 2], axis=-1)
+    dy = jnp.stack([h / 2, h / 2, -h / 2, -h / 2], axis=-1)
+    cos, sin = jnp.cos(alpha)[..., None], jnp.sin(alpha)[..., None]
+    cx = dx * cos - dy * sin + x[..., None]
+    cy = dx * sin + dy * cos + y[..., None]
+    return jnp.stack([cx, cy], axis=-1)
+
+
+def _segment_intersections(c1, c2):
+    """All 16 edge-edge intersection points between two quads.
+
+    c1, c2: (..., 4, 2). Returns points (..., 16, 2) and validity (..., 16).
+    """
+    p1 = c1
+    p2 = jnp.roll(c1, -1, axis=-2)
+    q1 = c2
+    q2 = jnp.roll(c2, -1, axis=-2)
+    # broadcast edges: (..., 4, 1, 2) x (..., 1, 4, 2)
+    p1 = p1[..., :, None, :]
+    p2 = p2[..., :, None, :]
+    q1 = q1[..., None, :, :]
+    q2 = q2[..., None, :, :]
+    r = p2 - p1
+    s = q2 - q1
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qp = q1 - p1
+    t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / jnp.where(
+        jnp.abs(denom) < _EPS, 1.0, denom)
+    u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / jnp.where(
+        jnp.abs(denom) < _EPS, 1.0, denom)
+    valid = (jnp.abs(denom) >= _EPS) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    pts = p1 + t[..., None] * r
+    shape = pts.shape[:-3] + (16, 2)
+    return pts.reshape(shape), valid.reshape(valid.shape[:-2] + (16,))
+
+
+def _points_in_box(pts, corners):
+    """pts (..., 4, 2) inside convex quad corners (..., 4, 2) (CCW or CW)."""
+    a = corners[..., None, :, :]                      # (..., 1, 4, 2)
+    b = jnp.roll(corners, -1, axis=-2)[..., None, :, :]
+    p = pts[..., :, None, :]                          # (..., 4, 1, 2)
+    cross = (b[..., 0] - a[..., 0]) * (p[..., 1] - a[..., 1]) \
+        - (b[..., 1] - a[..., 1]) * (p[..., 0] - a[..., 0])
+    inside = jnp.all(cross >= -_EPS, axis=-1) | jnp.all(cross <= _EPS, axis=-1)
+    return inside
+
+
+def intersection_area(corners1, corners2):
+    """Area of the convex intersection polygon of two quads.
+
+    corners: (..., 4, 2). Static-shape masked angular sort + shoelace —
+    the TPU analog of sort_vertices_forward (sort_vert.cpp:6).
+    """
+    inter_pts, inter_valid = _segment_intersections(corners1, corners2)
+    in12 = _points_in_box(corners1, corners2)
+    in21 = _points_in_box(corners2, corners1)
+    pts = jnp.concatenate([inter_pts, corners1, corners2], axis=-2)
+    valid = jnp.concatenate([inter_valid, in12, in21], axis=-1)
+
+    num_valid = valid.sum(axis=-1)
+    vf = valid[..., None].astype(pts.dtype)
+    center = (pts * vf).sum(axis=-2) / jnp.maximum(num_valid[..., None], 1)
+    d = pts - center[..., None, :]
+    angles = jnp.arctan2(d[..., 1], d[..., 0])
+    angles = jnp.where(valid, angles, 1e6)  # invalid points sort last
+    order = jnp.argsort(angles, axis=-1)
+    pts_sorted = jnp.take_along_axis(pts, order[..., None], axis=-2)
+    valid_sorted = jnp.take_along_axis(valid, order, axis=-1)
+
+    # close the polygon: next valid vertex wraps to the first sorted vertex
+    nxt = jnp.roll(pts_sorted, -1, axis=-2)
+    nxt_valid = jnp.roll(valid_sorted, -1, axis=-1)
+    first = pts_sorted[..., :1, :]
+    nxt = jnp.where(nxt_valid[..., None], nxt, first)
+    cross = pts_sorted[..., 0] * nxt[..., 1] - pts_sorted[..., 1] * nxt[..., 0]
+    area = 0.5 * jnp.abs((cross * valid_sorted).sum(axis=-1))
+    return jnp.where(num_valid >= 3, area, 0.0)
+
+
+def cal_iou(box1, box2, ret_extra: bool = False):
+    """Element-wise rotated IoU of paired boxes (..., 5)
+    (oriented_iou_loss.py:39)."""
+    c1 = box2corners(box1)
+    c2 = box2corners(box2)
+    inter = intersection_area(c1, c2)
+    a1 = box1[..., 2] * box1[..., 3]
+    a2 = box2[..., 2] * box2[..., 3]
+    union = a1 + a2 - inter
+    iou = inter / (union + _EPS)
+    if ret_extra:
+        return iou, c1, c2, union
+    return iou
+
+
+def smallest_enclosing_box(corners1, corners2):
+    """Axis-exhaustive smallest enclosing box area over both quads' edges
+    (min_enclosing_box.py:142 'smallest_bounding_box', pca-free variant):
+    tries each of the 8 edge directions, takes the min area."""
+    pts = jnp.concatenate([corners1, corners2], axis=-2)  # (..., 8, 2)
+    edges = jnp.concatenate([
+        jnp.roll(corners1, -1, axis=-2) - corners1,
+        jnp.roll(corners2, -1, axis=-2) - corners2], axis=-2)  # (..., 8, 2)
+    norm = jnp.linalg.norm(edges, axis=-1, keepdims=True)
+    dirs = edges / (norm + _EPS)
+    perp = jnp.stack([-dirs[..., 1], dirs[..., 0]], axis=-1)
+    # project points on each direction: (..., 8 dirs, 8 pts)
+    proj_u = jnp.einsum("...dc,...pc->...dp", dirs, pts)
+    proj_v = jnp.einsum("...dc,...pc->...dp", perp, pts)
+    ext_u = proj_u.max(axis=-1) - proj_u.min(axis=-1)
+    ext_v = proj_v.max(axis=-1) - proj_v.min(axis=-1)
+    areas = ext_u * ext_v
+    return areas.min(axis=-1)
+
+
+def cal_giou(box1, box2):
+    """Rotated GIoU (oriented_iou_loss.py:90): giou = iou - (C - U) / C with C
+    the smallest enclosing (rotated) box area. Returns (giou, iou)."""
+    iou, c1, c2, union = cal_iou(box1, box2, ret_extra=True)
+    area_c = smallest_enclosing_box(c1, c2)
+    giou = iou - (area_c - union) / (area_c + _EPS)
+    return giou, iou
+
+
+def _z_overlap(box3d1, box3d2):
+    """Vertical overlap of [zc, dz] pairs (oriented_iou_loss.py:cal_iou_3d)."""
+    zmax1 = box3d1[..., 2] + box3d1[..., 5] * 0.5
+    zmin1 = box3d1[..., 2] - box3d1[..., 5] * 0.5
+    zmax2 = box3d2[..., 2] + box3d2[..., 5] * 0.5
+    zmin2 = box3d2[..., 2] - box3d2[..., 5] * 0.5
+    return jnp.clip(jnp.minimum(zmax1, zmax2) - jnp.maximum(zmin1, zmin2), 0)
+
+
+def _bev(box3d):
+    """(..., 7) [x, y, z, dx, dy, dz, heading] -> BEV (..., 5) [x, z? ] —
+    following the reference's convention: BEV uses (x, y) ground plane =
+    (x, z) camera coords handled by the caller; here we take dims 0,1 as the
+    ground plane and 6 as heading (utiles.py reference semantics)."""
+    return jnp.stack([box3d[..., 0], box3d[..., 1], box3d[..., 3],
+                      box3d[..., 4], box3d[..., 6]], axis=-1)
+
+
+def cal_iou_3d(box3d1, box3d2, verbose: bool = False):
+    """Element-wise 3D IoU of paired (..., 7) boxes (oriented_iou_loss.py:110)."""
+    bev1, bev2 = _bev(box3d1), _bev(box3d2)
+    iou_2d, c1, c2, _ = cal_iou(bev1, bev2, ret_extra=True)
+    inter_2d = iou_2d * (bev1[..., 2] * bev1[..., 3] + bev2[..., 2] * bev2[..., 3]) \
+        / (1.0 + iou_2d + _EPS)  # recover intersection from iou: I = iou*(A1+A2)/(1+iou)
+    zo = _z_overlap(box3d1, box3d2)
+    inter_3d = inter_2d * zo
+    v1 = box3d1[..., 3] * box3d1[..., 4] * box3d1[..., 5]
+    v2 = box3d2[..., 3] * box3d2[..., 4] * box3d2[..., 5]
+    union = v1 + v2 - inter_3d
+    iou3d = inter_3d / (union + _EPS)
+    if verbose:
+        return iou3d, c1, c2, zo, union
+    return iou3d
+
+
+def cal_giou_3d(box3d1, box3d2):
+    """3D GIoU using enclosing volume (oriented_iou_loss.py:129).
+    Returns (giou, iou3d)."""
+    iou3d, c1, c2, zo, union = cal_iou_3d(box3d1, box3d2, verbose=True)
+    area_c = smallest_enclosing_box(c1, c2)
+    zmax = jnp.maximum(box3d1[..., 2] + box3d1[..., 5] * 0.5,
+                       box3d2[..., 2] + box3d2[..., 5] * 0.5)
+    zmin = jnp.minimum(box3d1[..., 2] - box3d1[..., 5] * 0.5,
+                       box3d2[..., 2] - box3d2[..., 5] * 0.5)
+    vol_c = area_c * (zmax - zmin)
+    giou = iou3d - (vol_c - union) / (vol_c + _EPS)
+    return giou, iou3d
+
+
+def cal_diou_3d(box3d1, box3d2):
+    """3D DIoU (oriented_iou_loss.py:152): iou - d^2/c^2 with d the center
+    distance and c the enclosing-box diagonal. Returns (diou, iou3d)."""
+    iou3d, c1, c2, zo, union = cal_iou_3d(box3d1, box3d2, verbose=True)
+    d2 = jnp.sum((box3d1[..., :3] - box3d2[..., :3]) ** 2, axis=-1)
+    pts = jnp.concatenate([c1, c2], axis=-2)
+    xy_ext = pts.max(axis=-2) - pts.min(axis=-2)
+    zmax = jnp.maximum(box3d1[..., 2] + box3d1[..., 5] * 0.5,
+                       box3d2[..., 2] + box3d2[..., 5] * 0.5)
+    zmin = jnp.minimum(box3d1[..., 2] - box3d1[..., 5] * 0.5,
+                       box3d2[..., 2] - box3d2[..., 5] * 0.5)
+    c2_diag = jnp.sum(xy_ext ** 2, axis=-1) + (zmax - zmin) ** 2
+    diou = iou3d - d2 / (c2_diag + _EPS)
+    return diou, iou3d
+
+
+def pairwise(fn, boxes1, boxes2):
+    """Lift an element-wise pair op to the (N, M) pairwise matrix."""
+    b1 = boxes1[..., :, None, :]
+    b2 = boxes2[..., None, :, :]
+    b1, b2 = jnp.broadcast_arrays(b1, b2)
+    return fn(b1, b2)
