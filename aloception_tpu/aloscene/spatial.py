@@ -302,13 +302,15 @@ def _mask_shape(frame: SpatialAugmentedArray) -> Tuple[int, ...]:
     return tuple(shape)
 
 
-def _cat_batched(frames: List[SpatialAugmentedArray], intersection: bool = False):
-    """Concatenate same-shape batched frames along B, merging children:
-    mergeable children are concatenated, unmergeable become per-item lists
-    (the reference's torch.cat __torch_function__ merge, augmented_tensor.py:435-570).
+def _cat_batched(frames: List[SpatialAugmentedArray], intersection: bool = False,
+                 axis_name: str = "B"):
+    """Concatenate same-shape batched frames along a named axis, merging
+    children: mergeable children are concatenated, unmergeable become
+    per-item lists (the reference's torch.cat __torch_function__ merge,
+    augmented_tensor.py:435-570).
     """
     f0 = frames[0]
-    axis = f0.dim_idx("B")
+    axis = f0.dim_idx(axis_name)
     data = np.concatenate([f.as_numpy() for f in frames], axis=axis)
     out = f0._with_array(data)
 
@@ -342,6 +344,14 @@ def _cat_batched(frames: List[SpatialAugmentedArray], intersection: bool = False
         if not all(present):
             if intersection:
                 n_children[name] = None
+                continue
+            if not f0._child_meta[name]["mergeable"]:
+                # unmergeable children tolerate gaps: per-item list w/ None
+                # (e.g. flow attached to frame t but not t+1, FlyingChairs2)
+                items: List[Any] = []
+                for v in vals:
+                    items.extend(v if isinstance(v, list) else [v])
+                n_children[name] = items
                 continue
             raise ValueError(
                 f"batch_list: child '{name}' missing on some tensors; "

@@ -1,0 +1,3 @@
+from .detr import Detr, detr_r50, inference, inference_arrays  # noqa: F401
+from .matcher import hungarian_match, cost_matrix  # noqa: F401
+from .criterion import detr_criterion, targets_from_frames  # noqa: F401

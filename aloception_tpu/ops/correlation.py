@@ -1,0 +1,76 @@
+"""RAFT all-pairs correlation volume + pyramid lookup.
+
+Reference: alonet/raft/corr.py:12-60 (CorrBlock). The volume is one batched
+matmul — exactly what the MXU wants: (B, HW, C) @ (B, C, HW) -> (B, HW, HW).
+The per-iteration radius lookup is a gather + bilinear interpolation over a
+4-level average-pooled pyramid; expressed with vmap over query pixels so XLA
+vectorizes it on the VPU (AlternateCorrBlock, corr.py:63, is the blockwise
+recompute variant — the pyramid here fits VMEM/HBM comfortably at RAFT's 1/8
+resolution).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .warp import bilinear_sample
+
+
+def corr_volume(fmap1, fmap2):
+    """(B, H, W, C) x2 -> (B, H*W, H, W) correlation / sqrt(C)
+    (corr.py:18-27)."""
+    B, H, W, C = fmap1.shape
+    f1 = fmap1.reshape(B, H * W, C)
+    f2 = fmap2.reshape(B, H * W, C)
+    corr = jnp.einsum("bnc,bmc->bnm", f1, f2,
+                      preferred_element_type=jnp.float32)
+    return (corr / jnp.sqrt(jnp.float32(C))).reshape(B, H * W, H, W)
+
+
+def corr_pyramid(corr, num_levels: int = 4) -> List[jnp.ndarray]:
+    """Average-pool the last two dims into a pyramid (corr.py:25-27)."""
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        c = pyramid[-1]
+        B, N, H, W = c.shape
+        c = c.reshape(B, N, H // 2, 2, W // 2, 2).mean(axis=(3, 5))
+        pyramid.append(c)
+    return pyramid
+
+
+def corr_lookup(pyramid: List[jnp.ndarray], coords, radius: int = 4):
+    """Radius-window bilinear lookup at each level (corr.py:29-50).
+
+    coords: (B, H, W, 2) current (x, y) positions at level 0.
+    Returns (B, H, W, num_levels * (2r+1)^2).
+    """
+    B, N, H, W = pyramid[0].shape
+    r = radius
+    d = 2 * r + 1
+    dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    dy = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    delta = jnp.stack(jnp.meshgrid(dy, dx, indexing="ij"), axis=-1)  # (d, d, 2) [dy, dx]
+
+    outs = []
+    for lvl, c in enumerate(pyramid):
+        Hl, Wl = c.shape[2], c.shape[3]
+        cl = c.reshape(B, N, Hl, Wl, 1)
+        centroid = coords / (2 ** lvl)  # (B, H, W, 2) xy
+
+        def sample_one(vol_n, ctr):
+            # vol_n: (Hl, Wl, 1); ctr: (2,)
+            xs = ctr[0] + delta[..., 1]
+            ys = ctr[1] + delta[..., 0]
+            return bilinear_sample(vol_n, xs, ys)[..., 0]  # (d, d)
+
+        def per_image(vol, ctrs):
+            # vol: (N, Hl, Wl, 1); ctrs: (N, 2)
+            return jax.vmap(sample_one)(vol, ctrs)  # (N, d, d)
+
+        ctrs = centroid.reshape(B, N, 2)
+        sampled = jax.vmap(per_image)(cl, ctrs)      # (B, N, d, d)
+        outs.append(sampled.reshape(B, H, W, d * d))
+    return jnp.concatenate(outs, axis=-1)

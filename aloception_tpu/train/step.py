@@ -1,0 +1,55 @@
+"""Jitted train steps.
+
+One jit region per optimizer step (the reference's training_step,
+alonet/detr/train.py:129, minus the Lightning machinery): forward +
+criterion + backward + optimizer update. Data parallelism is implicit —
+inputs arrive dp-sharded (parallel/shard.py) and jit inserts the gradient
+all-reduce over the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.detr.criterion import detr_criterion
+
+
+def make_detr_train_step(model, criterion: Callable = detr_criterion,
+                         criterion_kwargs: Optional[Dict] = None,
+                         donate: bool = True):
+    """Returns jitted step(state, images, mask, targets) -> (state, metrics)."""
+    criterion_kwargs = criterion_kwargs or {}
+
+    def step(state, images, mask, targets):
+        rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply(params, images, mask, deterministic=False,
+                              rngs={"dropout": rng})
+            loss, metrics = criterion(out, targets, **criterion_kwargs)
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = jax.tree.reduce(
+            lambda a, b: a + b,
+            jax.tree.map(lambda g: jnp.sum(g.astype(jnp.float32) ** 2), grads)) ** 0.5
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, criterion: Callable = detr_criterion,
+                   criterion_kwargs: Optional[Dict] = None):
+    criterion_kwargs = criterion_kwargs or {}
+
+    def step(params, images, mask, targets):
+        out = model.apply(params, images, mask, deterministic=True)
+        loss, metrics = criterion(out, targets, **criterion_kwargs)
+        return out, metrics
+
+    return jax.jit(step)
