@@ -31,12 +31,14 @@ def corr_volume(fmap1, fmap2):
 
 
 def corr_pyramid(corr, num_levels: int = 4) -> List[jnp.ndarray]:
-    """Average-pool the last two dims into a pyramid (corr.py:25-27)."""
+    """Average-pool the last two dims into a pyramid (corr.py:25-27).
+
+    2x2/stride-2 VALID pooling (floor on odd dims, matching F.avg_pool2d)."""
     pyramid = [corr]
     for _ in range(num_levels - 1):
         c = pyramid[-1]
-        B, N, H, W = c.shape
-        c = c.reshape(B, N, H // 2, 2, W // 2, 2).mean(axis=(3, 5))
+        c = jax.lax.reduce_window(
+            c, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID") / 4.0
         pyramid.append(c)
     return pyramid
 

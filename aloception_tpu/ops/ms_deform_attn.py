@@ -1,0 +1,107 @@
+"""Multi-scale deformable attention sampling (MSDeformAttn core op).
+
+The reference implements this as a CUDA im2col extension
+(/root/reference/alonet/deformable_detr/ops/src/cuda/ms_deform_im2col_cuda.cuh,
+autograd wrapper ops/functions/ms_deform_attn_func.py:49) with a pure-torch
+fallback ``ms_deform_attn_core_pytorch`` (ms_deform_attn_func.py:85). Here the
+*reference semantics* are expressed in pure jnp (fully differentiable,
+vmap/jit-friendly) as ``ms_deform_attn_lax``; ``ms_deform_attn`` dispatches to
+the Pallas TPU kernel when available and falls back to the lax path.
+
+Semantics (grid_sample align_corners=False, zero padding):
+    out[b, q, h, :] = sum_{l, p} w[b, q, h, l, p] *
+        bilinear(value_l[b, :, :, h, :], loc[b, q, h, l, p] * (W_l, H_l) - 0.5)
+
+Shapes:
+    value:              (B, Len_v, H, C)   flattened levels, Len_v = sum H_l*W_l
+    value_spatial_shapes: static tuple ((H_0, W_0), ...)
+    sampling_locations: (B, Len_q, H, L, P, 2) in [0, 1] (x, y)
+    attention_weights:  (B, Len_q, H, L, P) softmax-normalized over (L, P)
+Returns (B, Len_q, H * C).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _level_starts(shapes: Sequence[Tuple[int, int]]):
+    starts = [0]
+    for (h, w) in shapes[:-1]:
+        starts.append(starts[-1] + h * w)
+    return tuple(starts)
+
+
+def _sample_level(value_l, loc_xy, H_l: int, W_l: int):
+    """Bilinear sample one level for all queries/heads/points.
+
+    value_l: (B, H_l, W_l, H, C); loc_xy: (B, Lq, H, P, 2) in [0,1].
+    Returns (B, Lq, H, P, C). align_corners=False: pix = loc * size - 0.5.
+    """
+    B, _, _, nH, C = value_l.shape
+    x = loc_xy[..., 0] * W_l - 0.5
+    y = loc_xy[..., 1] * H_l - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    def gather(yy, xx):
+        valid = (xx >= 0) & (xx < W_l) & (yy >= 0) & (yy < H_l)
+        xi = jnp.clip(xx, 0, W_l - 1).astype(jnp.int32)
+        yi = jnp.clip(yy, 0, H_l - 1).astype(jnp.int32)
+        # gather per (batch, head): value_l (B, H_l, W_l, nH, C),
+        # indices (B, Lq, nH, P)
+        b_idx = jnp.arange(B)[:, None, None, None]
+        h_idx = jnp.arange(nH)[None, None, :, None]
+        v = value_l[b_idx, yi, xi, h_idx]          # (B, Lq, nH, P, C)
+        return v * valid[..., None]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    w00 = ((1 - wy) * (1 - wx))[..., None]
+    w01 = ((1 - wy) * wx)[..., None]
+    w10 = (wy * (1 - wx))[..., None]
+    w11 = (wy * wx)[..., None]
+    return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+
+
+def ms_deform_attn_lax(value, value_spatial_shapes, sampling_locations,
+                       attention_weights):
+    """Pure-lax reference (parity target for the Pallas kernel; mirrors
+    ms_deform_attn_core_pytorch, ms_deform_attn_func.py:85)."""
+    B, Len_v, nH, C = value.shape
+    Lq = sampling_locations.shape[1]
+    L = len(value_spatial_shapes)
+    starts = _level_starts(value_spatial_shapes)
+
+    out = jnp.zeros((B, Lq, nH, C), value.dtype)
+    for lvl, (H_l, W_l) in enumerate(value_spatial_shapes):
+        value_l = jax.lax.dynamic_slice_in_dim(value, starts[lvl], H_l * W_l,
+                                               axis=1)
+        value_l = value_l.reshape(B, H_l, W_l, nH, C)
+        loc = sampling_locations[:, :, :, lvl]       # (B, Lq, nH, P, 2)
+        w = attention_weights[:, :, :, lvl]          # (B, Lq, nH, P)
+        sampled = _sample_level(value_l, loc, H_l, W_l)
+        out = out + (sampled * w[..., None]).sum(axis=3)
+    return out.reshape(B, Lq, nH * C)
+
+
+def ms_deform_attn(value, value_spatial_shapes, sampling_locations,
+                   attention_weights, use_pallas: bool = True):
+    """Dispatch: Pallas TPU kernel when available, lax fallback otherwise."""
+    if use_pallas:
+        try:
+            from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas
+            return ms_deform_attn_pallas(value, value_spatial_shapes,
+                                         sampling_locations, attention_weights)
+        except (ImportError, NotImplementedError):
+            pass
+    return ms_deform_attn_lax(value, value_spatial_shapes,
+                              sampling_locations, attention_weights)

@@ -67,17 +67,25 @@ def main():
         images = images + logits.mean().astype(images.dtype) * 1e-6
         return logits, boxes, images
 
+    def fetch(x):
+        # NOTE: on the tunneled axon backend block_until_ready() returns
+        # before device execution finishes; only a host value fetch truly
+        # synchronizes. The chain makes the final scalar depend on every
+        # iteration, so one fetch times the whole loop.
+        return float(jnp.sum(x.astype(jnp.float32)))
+
     # compile + warmup
     logits, boxes, images = chained(params, images, mask)
-    jax.block_until_ready(images)
+    fetch(logits)
     for _ in range(args.warmup):
         logits, boxes, images = chained(params, images, mask)
-    jax.block_until_ready(images)
+    fetch(logits)
 
     t0 = time.perf_counter()
     for i in range(args.iters):
         logits, boxes, images = chained(params, images, mask)
-    jax.block_until_ready((logits, images))
+    fetch(logits)
+    fetch(images[0, 0, 0])
     dt = time.perf_counter() - t0
 
     img_s = args.batch * args.iters / dt
