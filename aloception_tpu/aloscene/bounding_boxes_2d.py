@@ -44,6 +44,49 @@ class BoundingBoxes2D(AugmentedArray):
     def append_labels(self, labels: Labels, name: Optional[str] = None):
         self._append_child("labels", labels, name)
 
+
+    _GLOBAL_COLOR_SET = np.random.RandomState(7).uniform(0, 1, (300, 3))
+
+    def __get_view__(self, frame=None, frame_size=None, title=None,
+                     labels_set=None, **kwargs):
+        """Draw boxes (+class/score text) onto a frame image
+        (bounding_boxes_2d.py:428 get_view)."""
+        from .renderer import View, put_adaptive_cv2_text
+        import cv2
+        if frame is None:
+            if frame_size is None and not self.absolute:
+                frame_size = (300, 300)
+            fs = frame_size or self.frame_size
+            frame = np.zeros((int(fs[0]), int(fs[1]), 3), np.float32)
+        fs = (frame.shape[0], frame.shape[1])
+        boxes = self.abs_pos(fs).xyxy()
+        arr = np.asarray(boxes.as_numpy()).reshape(-1, 4)
+        labels = boxes.get_child("labels")
+        if isinstance(labels, dict):
+            labels = labels.get(labels_set) if labels_set else \
+                next(iter(labels.values()))
+        lab = np.asarray(labels.as_numpy()).astype(int) \
+            if labels is not None else None
+        scores = labels.scores if labels is not None else None
+        img = (np.clip(np.ascontiguousarray(frame), 0, 1) * 255).astype(np.uint8)
+        for i, (x1, y1, x2, y2) in enumerate(arr):
+            if lab is not None and i < len(lab):
+                color = tuple(int(255 * c)
+                              for c in self._GLOBAL_COLOR_SET[lab[i] % 300])
+                text = labels.labels_names[lab[i]] \
+                    if labels.labels_names and lab[i] < len(labels.labels_names) \
+                    else str(lab[i])
+                if scores is not None:
+                    text += f" {float(np.asarray(scores)[i]):.2f}"
+                put_adaptive_cv2_text(img, text, x1, max(y1 - 3, 10), color)
+            else:
+                color = (0, 255, 0)
+            cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)), color, 2)
+        return View(img.astype(np.float32) / 255.0, title=title)
+
+    def get_view(self, frame=None, **kwargs):
+        return self.__get_view__(frame=frame, **kwargs)
+
     # ------------------------------------------------------------------
     # format conversions (bounding_boxes_2d.py:133-365)
     # ------------------------------------------------------------------

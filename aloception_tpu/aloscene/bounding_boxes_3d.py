@@ -1,0 +1,127 @@
+"""BoundingBoxes3D: N×7 camera-coordinate boxes [xc, yc, zc, Dx, Dy, Dz,
+heading] (reference: aloscene/bounding_boxes_3d.py:26).
+
+Vertices, image projection (via CameraIntrinsic), enclosing 2D boxes and
+3D IoU/GIoU via the static-shape rotated-IoU op (TPU replacement of the
+reference's CUDA vertex sort).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from .augmented import AugmentedArray
+from .bounding_boxes_2d import BoundingBoxes2D
+from .labels import Labels
+from ..ops import rotated_iou as riou
+
+
+class BoundingBoxes3D(AugmentedArray):
+
+    def __init__(self, x, labels: Union[dict, Labels, None] = None,
+                 names=("N", None), **kwargs):
+        super().__init__(x, names=names, **kwargs)
+        assert self.shape[-1] == 7, "boxes3d are [xc, yc, zc, Dx, Dy, Dz, heading]"
+        self.add_child("labels", labels, align_dim=["N"], mergeable=True)
+
+    def append_labels(self, labels: Labels, name: Optional[str] = None):
+        self._append_child("labels", labels, name)
+
+    # ------------------------------------------------------------------
+    def get_vertices_3d(self) -> np.ndarray:
+        """(N, 8, 3) corner vertices in camera coords
+        (bounding_boxes_3d.py:88). Heading rotates around the Y axis."""
+        b = np.asarray(self.as_numpy()).reshape(-1, 7)
+        centers = b[:, :3]
+        dx, dy, dz = b[:, 3], b[:, 4], b[:, 5]
+        heading = b[:, 6]
+        sx = np.array([1, 1, 1, 1, -1, -1, -1, -1]) * 0.5
+        sy = np.array([1, 1, -1, -1, 1, 1, -1, -1]) * 0.5
+        sz = np.array([1, -1, 1, -1, 1, -1, 1, -1]) * 0.5
+        corners = np.stack([sx[None] * dx[:, None], sy[None] * dy[:, None],
+                            sz[None] * dz[:, None]], axis=-1)  # (N, 8, 3)
+        cos, sin = np.cos(heading), np.sin(heading)
+        rot = np.zeros((len(b), 3, 3))
+        rot[:, 0, 0] = cos
+        rot[:, 0, 2] = sin
+        rot[:, 1, 1] = 1
+        rot[:, 2, 0] = -sin
+        rot[:, 2, 2] = cos
+        return np.einsum("nij,nkj->nki", rot, corners) + centers[:, None]
+
+    def get_vertices_3d_proj(self, cam_intrinsic) -> np.ndarray:
+        """Project vertices to image pixels (bounding_boxes_3d.py:126)."""
+        v = self.get_vertices_3d()
+        K = np.asarray(cam_intrinsic.as_numpy()).reshape(-1, cam_intrinsic.shape[-2], 4)[0]
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        z = np.maximum(v[..., 2], 1e-6)
+        u = v[..., 0] / z * fx + cx
+        w = v[..., 1] / z * fy + cy
+        return np.stack([u, w], axis=-1)
+
+    def get_enclosing_box_2d(self, cam_intrinsic, frame_size: Tuple[int, int]
+                             ) -> BoundingBoxes2D:
+        """Axis-aligned 2D enclosing box of the projection
+        (bounding_boxes_3d.py:174)."""
+        proj = self.get_vertices_3d_proj(cam_intrinsic)
+        x1 = proj[..., 0].min(-1)
+        y1 = proj[..., 1].min(-1)
+        x2 = proj[..., 0].max(-1)
+        y2 = proj[..., 1].max(-1)
+        boxes = np.stack([x1, y1, x2, y2], -1).astype(np.float32)
+        out = BoundingBoxes2D(boxes, boxes_format="xyxy", absolute=True,
+                              frame_size=frame_size)
+        labels = self.get_child("labels")
+        if labels is not None and not isinstance(labels, dict):
+            out.append_labels(labels.clone())
+        return out
+
+    def bev_boxes(self) -> np.ndarray:
+        """(N, 5) bird's-eye-view rotated boxes [xc, zc, Dx, Dz, heading]
+        (bounding_boxes_3d.py:320)."""
+        b = np.asarray(self.as_numpy()).reshape(-1, 7)
+        return np.stack([b[:, 0], b[:, 2], b[:, 3], b[:, 5], b[:, 6]], -1)
+
+    def iou3d_with(self, boxes2: "BoundingBoxes3D", ret_union=False) -> np.ndarray:
+        """Pairwise 3D IoU (bounding_boxes_3d.py:342) via ops/rotated_iou."""
+        b1 = _to_riou_layout(self)
+        b2 = _to_riou_layout(boxes2)
+        return np.asarray(riou.pairwise(riou.cal_iou_3d,
+                                        jnp.asarray(b1), jnp.asarray(b2)))
+
+    def giou3d_with(self, boxes2: "BoundingBoxes3D") -> np.ndarray:
+        """(bounding_boxes_3d.py:400)"""
+        b1 = _to_riou_layout(self)
+        b2 = _to_riou_layout(boxes2)
+        giou, _ = riou.pairwise(riou.cal_giou_3d, jnp.asarray(b1),
+                                jnp.asarray(b2))
+        return np.asarray(giou)
+
+    def _hflip(self, cam_extrinsic=None, **kw):
+        """Mirror across the camera x axis (bounding_boxes_3d.py:219)."""
+        arr = np.array(self.as_numpy())
+        arr[..., 0] = -arr[..., 0]
+        arr[..., 6] = -arr[..., 6]
+        return self._with_array(arr)
+
+    # 3D boxes are invariant under image resize/crop/pad
+    def _resize(self, size01, **kw): return self.clone()
+    def _crop(self, H_crop, W_crop, **kw): return self.clone()
+    def _pad(self, oy, ox, **kw): return self.clone()
+    def _vflip(self, **kw):
+        arr = np.array(self.as_numpy())
+        arr[..., 1] = -arr[..., 1]
+        return self._with_array(arr)
+    def _spatial_shift(self, sy, sx, **kw): return self.clone()
+
+
+def _to_riou_layout(boxes: BoundingBoxes3D) -> np.ndarray:
+    """[xc, yc, zc, Dx, Dy, Dz, heading] camera coords -> the rotated-IoU
+    op layout [x, y(=ground2), z(=height ctr), dx, dy, dz, heading] where the
+    BEV plane is (x, z) and the vertical axis is y."""
+    b = np.asarray(boxes.as_numpy()).reshape(-1, 7)
+    return np.stack([b[:, 0], b[:, 2], b[:, 1], b[:, 3], b[:, 5], b[:, 4],
+                     b[:, 6]], -1).astype(np.float32)

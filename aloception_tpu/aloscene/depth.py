@@ -37,6 +37,24 @@ class Depth(SpatialAugmentedArray):
     def append_occlusion(self, occlusion: Mask, name: Optional[str] = None):
         self._append_child("occlusion", occlusion, name)
 
+
+    def __get_view__(self, title=None, min_depth=None, max_depth=None,
+                     cmap="nipy_spectral", reverse: bool = True, **kwargs):
+        """Colormapped depth (depth.py:183 __get_view__)."""
+        from .renderer import View
+        import matplotlib
+        arr = np.asarray(self.as_numpy(), np.float64)
+        while arr.ndim > 2:
+            arr = arr[0]
+        arr = np.nan_to_num(arr, posinf=0, neginf=0)
+        lo = min_depth if min_depth is not None else arr.min()
+        hi = max_depth if max_depth is not None else max(arr.max(), lo + 1e-6)
+        norm = np.clip((arr - lo) / (hi - lo), 0, 1)
+        if reverse:
+            norm = 1 - norm
+        img = matplotlib.colormaps[cmap](norm)[..., :3].astype(np.float32)
+        return View(img, title=title)
+
     # ------------------------------------------------------------------
     def encode_inverse(self, prior_clamp_min=None, prior_clamp_max=None,
                        post_clamp_min=None, post_clamp_max=None) -> "Depth":

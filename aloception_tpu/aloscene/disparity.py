@@ -36,6 +36,21 @@ class Disparity(SpatialAugmentedArray):
     def append_occlusion(self, occlusion: Mask, name: Optional[str] = None):
         self._append_child("occlusion", occlusion, name)
 
+
+    def __get_view__(self, title=None, min_disp=None, max_disp=None,
+                     cmap="nipy_spectral", **kwargs):
+        """Colormapped disparity (disparity.py get_view)."""
+        from .renderer import View
+        import matplotlib
+        arr = np.abs(np.asarray(self.as_numpy()))
+        while arr.ndim > 2:
+            arr = arr[0]
+        lo = min_disp if min_disp is not None else arr.min()
+        hi = max_disp if max_disp is not None else max(arr.max(), lo + 1e-6)
+        norm = np.clip((arr - lo) / (hi - lo), 0, 1)
+        img = matplotlib.colormaps[cmap](norm)[..., :3].astype(np.float32)
+        return View(img, title=title)
+
     def _resize(self, size01, **kwargs):
         W0 = self.W
         out = super()._resize(size01, **kwargs)

@@ -29,6 +29,20 @@ class Flow(SpatialAugmentedArray):
     def append_occlusion(self, occlusion: Mask, name: Optional[str] = None):
         self._append_child("occlusion", occlusion, name)
 
+
+    def __get_view__(self, title=None, clip_flow=None, magnitude_max=None,
+                     **kwargs):
+        """Flow-wheel color view (flow.py:46)."""
+        from .renderer import View
+        from .utils.flow_utils import flow_to_color
+        arr = np.asarray(self.as_numpy())
+        while arr.ndim > 3:
+            arr = arr[0]
+        f = np.moveaxis(arr, self.dim_idx("C") if arr.ndim == 3 else 0, -1)
+        return View(flow_to_color(f[..., :2], clip_flow,
+                                  magnitude_max=magnitude_max) / 255.0,
+                    title=title)
+
     def _scale_components(self, out, sx: float, sy: float):
         arr = np.array(out.as_numpy())
         slx = out.get_slices({"C": 0})

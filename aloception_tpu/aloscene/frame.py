@@ -19,6 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .augmented import AugmentedArray, xp
+from .renderer import View
 from .spatial import SpatialAugmentedArray
 
 RESNET_MEAN_STD = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
@@ -159,6 +160,18 @@ class Frame(SpatialAugmentedArray):
         perm = [f.dim_idx("H"), f.dim_idx("W"), f.dim_idx("C")]
         lead = [i for i in range(arr.ndim) if i not in perm]
         return np.transpose(arr, lead + perm).astype(dtype)
+
+    def __get_view__(self, title=None, **kwargs):
+        """(frame.py:550) view = norm01 HWC image."""
+        from .renderer import View
+        f = self.norm01()
+        arr = f.as_numpy()
+        perm = [f.dim_idx("H"), f.dim_idx("W"), f.dim_idx("C")]
+        lead = [i for i in range(arr.ndim) if i not in perm]
+        img = np.transpose(arr, lead + perm)
+        while img.ndim > 3:
+            img = img[0]
+        return View(img, title=title)
 
     # ------------------------------------------------------------------
     # norm-aware geometric overrides (frame.py:557-657)

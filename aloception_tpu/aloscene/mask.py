@@ -29,6 +29,36 @@ class Mask(SpatialAugmentedArray):
     def append_labels(self, labels: Labels, name: Optional[str] = None):
         self._append_child("labels", labels, name)
 
+
+    _GLOBAL_COLOR_SET = np.random.RandomState(42).uniform(0, 1, (300, 3))
+
+    def __get_view__(self, title=None, frame=None, frame_size=None, **kwargs):
+        """Colored overlay of the mask set (mask.py:84-161). When a ``frame``
+        image is given, blends the masks onto it."""
+        from .renderer import View
+        masks = np.asarray(self.as_numpy())
+        if masks.ndim == 2:
+            masks = masks[None]
+        while masks.ndim > 3:
+            masks = masks[0]
+        H, W = masks.shape[-2:]
+        overlay = np.zeros((H, W, 3), np.float32)
+        labels = self.get_child("labels")
+        lab = np.asarray(labels.as_numpy()).astype(int) \
+            if labels is not None and not isinstance(labels, dict) else None
+        for i in range(masks.shape[0]):
+            color_id = lab[i] if lab is not None and i < len(lab) else i
+            color = self._GLOBAL_COLOR_SET[int(color_id) % 300]
+            overlay += masks[i][..., None] * color[None, None]
+        overlay = np.clip(overlay, 0, 1)
+        if frame is not None:
+            import cv2
+            if frame.shape[:2] != (H, W):
+                overlay = cv2.resize(overlay, (frame.shape[1], frame.shape[0]))
+            blend = np.clip(frame * 0.6 + overlay * 0.4, 0, 1)
+            return View(blend, title=title)
+        return View(overlay, title=title)
+
     def iou_with(self, mask2: "Mask", eps: float = 1e-6):
         """Pairwise IoU between two sets of masks -> (N1, N2) (mask.py:51)."""
         m1 = jnp.asarray(self.array).reshape(self.shape[0], -1)

@@ -286,6 +286,62 @@ class SpatialAugmentedArray(AugmentedArray):
                 if hasattr(c, "crop") else c)
         return out
 
+    # ------------------------------------------------------------------
+    # rendering (spatial_augmented_tensor.py:115-202 get_view)
+    # ------------------------------------------------------------------
+    def __get_view__(self, title=None, **kwargs):
+        from .renderer import View
+        arr = self.as_numpy()
+        if "C" in self._names:
+            perm = [self.dim_idx("H"), self.dim_idx("W"), self.dim_idx("C")]
+        else:
+            perm = [self.dim_idx("H"), self.dim_idx("W")]
+        lead = [i for i in range(arr.ndim) if i not in perm]
+        img = np.transpose(arr, lead + perm)
+        while img.ndim > 3:
+            img = img[0]
+        return View(img, title=title)
+
+    def get_view(self, views: Optional[list] = None, exclude=None, size=None,
+                 title=None, **kwargs):
+        """Recursive view: the frame plus each renderable child drawn on it
+        (spatial_augmented_tensor.py:115)."""
+        from .renderer import View
+        views = list(views) if views else []
+        exclude = exclude or []
+        base = self.__get_view__(title=title, **kwargs)
+        frame_img = base.image.copy()
+        for name, child in self._children.items():
+            if child is None or name in exclude or name in ("mask",
+                                                            "cam_intrinsic",
+                                                            "cam_extrinsic"):
+                continue
+            def _draw(c):
+                nonlocal frame_img
+                fn = getattr(c, "__get_view__", None)
+                if fn is None:
+                    return c
+                try:
+                    v = fn(frame=frame_img, frame_size=self.HW)
+                    if v is not None:
+                        frame_img = v.image
+                except TypeError:
+                    pass
+                return c
+            self.apply_on_child(child, _draw)
+        views.insert(0, View(frame_img, title=title))
+        if size is not None:
+            import cv2
+            for v in views:
+                v.image = cv2.resize(v.image, (size[1], size[0]))
+        out = views[0]
+        for v in views[1:]:
+            out = out.add(v)
+        return out
+
+    def render(self, **kwargs):
+        self.get_view().render(**kwargs)
+
     # convenient layout export for models: named transpose
     def as_layout(self, names: Tuple[str, ...]):
         """Transpose payload to the given named layout (e.g. ("B","H","W","C"))

@@ -1,0 +1,92 @@
+"""PanopticHead + panoptic criterion tests (mirrors reference
+alonet/detr_panoptic semantics)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aloception_tpu.models.detr import Detr
+from aloception_tpu.models.panoptic import (
+    PanopticHead, panoptic_criterion, inference_with_masks, dice_loss)
+
+
+@pytest.fixture(scope="module")
+def detr_panoptic():
+    detector = Detr(num_classes=10, hidden_dim=64, num_queries=12, nheads=4,
+                    num_encoder_layers=2, num_decoder_layers=2,
+                    dim_feedforward=128, stage_sizes=(1, 1, 1, 1),
+                    return_intermediate=True)
+    head = PanopticHead(hidden_dim=64, num_heads=4)
+    rng = jax.random.PRNGKey(0)
+    images = jnp.zeros((2, 64, 96, 3))
+    dparams = detector.init(rng, images)
+    m_out = detector.apply(dparams, images)
+    hparams = head.init(rng, m_out)
+    return detector, head, dparams, hparams
+
+
+def test_panoptic_forward_shapes(detr_panoptic):
+    detector, head, dparams, hparams = detr_panoptic
+    images = jnp.asarray(np.random.RandomState(0).randn(2, 64, 96, 3),
+                         jnp.float32)
+
+    @jax.jit
+    def forward(dp, hp, x):
+        return head.apply(hp, detector.apply(dp, x))
+
+    out = forward(dparams, hparams, images)
+    assert out["pred_masks"].shape == (2, 12, 16, 24)  # H/4, W/4
+    assert out["pred_logits"].shape == (2, 12, 11)
+
+
+def test_panoptic_criterion_and_grad(detr_panoptic):
+    detector, head, dparams, hparams = detr_panoptic
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(2, 64, 96, 3), jnp.float32)
+    Nt = 3
+    masks = np.zeros((2, Nt, 64, 96), np.float32)
+    masks[:, 0, :32] = 1
+    masks[:, 1, 32:] = 1
+    targets = {
+        "boxes": jnp.asarray(np.clip(rng.uniform(0.3, 0.7, (2, Nt, 4)),
+                                     0.05, 0.95).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 10, (2, Nt)).astype(np.int32)),
+        "valid": jnp.asarray(np.arange(Nt)[None] < np.array([[2], [3]])),
+        "masks": jnp.asarray(masks),
+    }
+
+    @jax.jit
+    def loss_fn(hp):
+        out = head.apply(hp, detector.apply(dparams, images))
+        return panoptic_criterion(out, targets)
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(hparams)
+    assert np.isfinite(float(loss))
+    assert "loss_DICE" in metrics and "loss_focal" in metrics
+    gsum = jax.tree.reduce(lambda a, b: a + b,
+                           jax.tree.map(lambda g: float(jnp.abs(g).sum()), grads))
+    assert gsum > 0
+
+
+def test_dice_loss_perfect_match():
+    t = jnp.zeros((2, 8, 8)).at[0, :4].set(1.0).at[1, 4:].set(1.0)
+    logits = (t * 2 - 1) * 20.0  # saturated sigmoid
+    valid = jnp.ones(2)
+    loss = float(dice_loss(logits, t, valid, 2.0))
+    assert loss < 1e-3
+
+
+def test_inference_with_masks(detr_panoptic):
+    from aloception_tpu.aloscene import BoundingBoxes2D, Mask
+    detector, head, dparams, hparams = detr_panoptic
+    out = head.apply(hparams, detector.apply(
+        dparams, jnp.zeros((2, 64, 96, 3))))
+    results = inference_with_masks(jax.device_get(out), background_class=10)
+    assert len(results) == 2
+    boxes, masks = results[0]
+    assert isinstance(boxes, BoundingBoxes2D) and isinstance(masks, Mask)
+    assert boxes.shape[0] == masks.shape[0]
+    arr = masks.as_numpy()
+    assert set(np.unique(arr)) <= {0.0, 1.0}
