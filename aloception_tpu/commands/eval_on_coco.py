@@ -1,0 +1,105 @@
+"""Evaluate DETR-family models on COCO val (reference:
+alonet/detr/eval_on_coco.py, deformable_detr/eval_on_coco.py).
+
+Loads a checkpoint (best/last by monitor) and reproduces the README AP
+tables via metrics.ApMetrics.
+
+Example: python -m aloception_tpu.commands.eval_on_coco --sample --tiny --cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(__doc__)
+    p.add_argument("--model", default="detr", choices=["detr", "deformable"])
+    p.add_argument("--sample", action="store_true")
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--size", type=int, nargs=2, default=(480, 640))
+    p.add_argument("--ckpt_dir", default=None,
+                   help="experiment dir with checkpoints; random init if none")
+    p.add_argument("--best", action="store_true", help="best ckpt (else last)")
+    p.add_argument("--threshold", type=float, default=0.0)
+    p.add_argument("--limit_batches", type=int, default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from aloception_tpu.train import CocoDetection2Detr
+    from aloception_tpu.metrics import ApMetrics
+
+    dm = CocoDetection2Detr(batch_size=args.batch_size, sample=args.sample,
+                            size=tuple(args.size))
+    n_cls = len(dm.label_names) if dm.label_names else 91
+
+    if args.model == "detr":
+        from aloception_tpu.models.detr import Detr, detr_r50
+        from aloception_tpu.models.detr import inference as inf
+        model = Detr(num_classes=n_cls, hidden_dim=64, num_queries=20,
+                     nheads=4, num_encoder_layers=2, num_decoder_layers=2,
+                     dim_feedforward=128, stage_sizes=(1, 1, 1, 1)) \
+            if args.tiny else detr_r50(num_classes=n_cls)
+        inference = lambda o: inf(o, threshold=args.threshold,
+                                  background_class=n_cls)
+    else:
+        from aloception_tpu.models.deformable_detr import (
+            DeformableDETR, deformable_detr_r50)
+        from aloception_tpu.models.deformable_detr import inference as inf
+        model = DeformableDETR(num_classes=n_cls, hidden_dim=64,
+                               num_queries=20, nheads=4,
+                               num_encoder_layers=2, num_decoder_layers=2,
+                               dim_feedforward=128, stage_sizes=(1, 1, 1, 1),
+                               with_box_refine=True) \
+            if args.tiny else deformable_detr_r50(num_classes=n_cls,
+                                                  with_box_refine=True)
+        inference = lambda o: inf(o, threshold=max(args.threshold, 0.2))
+
+    dm.max_targets = min(dm.max_targets, model.num_queries)
+    loader = dm.val_dataloader()
+    params = None
+    apply = jax.jit(lambda p, i, m: model.apply(p, i, m))
+    metrics = ApMetrics()
+
+    for i, frames_list in enumerate(loader):
+        if args.limit_batches and i >= args.limit_batches:
+            break
+        prepared = dm.prepare_batch(frames_list, training=False)
+        images, mask = prepared["inputs"]
+        if params is None:
+            params = model.init(jax.random.PRNGKey(0),
+                                jnp.asarray(images[:1]), jnp.asarray(mask[:1]))
+            if args.ckpt_dir:
+                from aloception_tpu.train import CheckpointManager
+                from aloception_tpu.train.state import make_train_state
+                ckpt = CheckpointManager(args.ckpt_dir)
+                state = make_train_state(model, params)
+                state = ckpt.restore(state, best=args.best)
+                params = state.params
+                print(f"[eval] restored step "
+                      f"{ckpt.best_step() if args.best else ckpt.last_step()}")
+        out = jax.device_get(apply(params, jnp.asarray(images),
+                                   jnp.asarray(mask)))
+        p_boxes = inference(out)
+        frames = prepared["frames"]
+        gt_list = frames.boxes2d if isinstance(frames.boxes2d, list) \
+            else [frames.boxes2d]
+        for pb, tb in zip(p_boxes, gt_list):
+            if tb is not None:
+                metrics.add_sample(pb, tb)
+
+    all_maps, per_class = metrics.calc_map(print_result=True)
+    print(f"[eval_on_coco] AP={all_maps['all']['all']:.2f} "
+          f"AP50={all_maps['all'][50]:.2f}")
+    return all_maps
+
+
+if __name__ == "__main__":
+    main()

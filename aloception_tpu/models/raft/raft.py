@@ -59,7 +59,7 @@ class RAFTBase(nn.Module):
     @nn.compact
     def __call__(self, frame1, frame2, iters: int = 12,
                  flow_init: Optional[jnp.ndarray] = None,
-                 only_last: bool = False):
+                 only_last: bool = False, deterministic: bool = True):
         """frame1/2: (B, H, W, 3), H, W multiples of 8. Returns the list of
         upsampled flow predictions (B, H, W, 2), one per iteration
         (raft.py:133-195), or just the final one with only_last."""

@@ -14,10 +14,23 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host batch with its leading axis sharded over dp."""
+def shard_batch(batch: Any, mesh: Mesh, strict: bool = False) -> Any:
+    """Place a host batch with its leading axis sharded over dp.
+
+    Arrays whose leading dim is not divisible by the dp axis are replicated
+    (with strict=True this raises instead) — lets small smoke batches run on
+    big meshes at the cost of redundant compute.
+    """
+    dp = mesh.shape.get("dp", 1)
+
     def _put(x):
-        spec = P("dp", *([None] * (x.ndim - 1))) if getattr(x, "ndim", 0) >= 1 else P()
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % dp == 0:
+            spec = P("dp", *([None] * (x.ndim - 1)))
+        elif strict and getattr(x, "ndim", 0) >= 1:
+            raise ValueError(
+                f"batch dim {x.shape[0]} not divisible by dp={dp}")
+        else:
+            spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(_put, batch)
 

@@ -1,0 +1,118 @@
+"""Training callbacks (reference: alonet/callbacks/).
+
+- MetricsCallback (metrics_callback.py:29): smoothed train scalars +
+  per-val aggregation to the logger.
+- ApMetricsCallback / PQMetricsCallback (map_metrics_callback.py:15,
+  pq_metrics_callback.py:15 via base_metrics_callback.py:15): accumulate
+  per-batch predictions, print + log at validation end.
+- ObjectDetectorCallback (object_detector_callback.py:14): renders predicted
+  boxes/masks on validation images to the logger.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class Callback:
+    def on_train_batch_end(self, trainer, metrics: Dict, step: int): ...
+    def on_val_batch_end(self, trainer, outputs, batch, metrics: Dict): ...
+    def on_val_epoch_end(self, trainer, step: int): ...
+    def on_epoch_end(self, trainer, epoch: int): ...
+
+
+class MetricsCallback(Callback):
+    """EMA-smoothed train scalars, mean val scalars (metrics_callback.py:29)."""
+
+    def __init__(self, log_every: int = 10, smoothing: float = 0.9):
+        self.log_every = log_every
+        self.smoothing = smoothing
+        self._ema: Dict[str, float] = {}
+        self._val: Dict[str, List[float]] = defaultdict(list)
+
+    def on_train_batch_end(self, trainer, metrics, step):
+        for k, v in metrics.items():
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                continue
+            self._ema[k] = v if k not in self._ema else \
+                self.smoothing * self._ema[k] + (1 - self.smoothing) * v
+        if step % self.log_every == 0:
+            trainer.logger.log_scalars(self._ema, step, prefix="train/")
+
+    def on_val_batch_end(self, trainer, outputs, batch, metrics):
+        for k, v in metrics.items():
+            try:
+                self._val[k].append(float(v))
+            except (TypeError, ValueError):
+                pass
+
+    def on_val_epoch_end(self, trainer, step):
+        means = {k: float(np.mean(v)) for k, v in self._val.items() if v}
+        trainer.logger.log_scalars(means, step, prefix="val/")
+        trainer.last_val_metrics = {f"val_{k}": v for k, v in means.items()}
+        self._val.clear()
+
+
+class ApMetricsCallback(Callback):
+    """Accumulate AP over validation (map_metrics_callback.py:15).
+    Expects trainer.inference_fn(outputs) -> list of predicted boxes and the
+    batch to carry ground-truth frames."""
+
+    def __init__(self):
+        from ..metrics import ApMetrics
+        self._make = ApMetrics
+        self.ap = ApMetrics()
+
+    def on_val_batch_end(self, trainer, outputs, batch, metrics):
+        frames = batch.get("frames")
+        if frames is None or trainer.inference_fn is None:
+            return
+        p_boxes = trainer.inference_fn(outputs)
+        gt_list = frames.boxes2d if isinstance(frames.boxes2d, list) \
+            else [frames.boxes2d]
+        for p, t in zip(p_boxes, gt_list):
+            if t is not None and t.shape[0] >= 0:
+                self.ap.add_sample(p, t)
+
+    def on_val_epoch_end(self, trainer, step):
+        if self.ap.ap_data is None:
+            return
+        all_maps, _ = self.ap.calc_map(print_result=True)
+        trainer.logger.log_scalars(
+            {f"AP{k}": v for k, v in all_maps["all"].items()}, step,
+            prefix="val/")
+        self.ap = self._make()
+
+
+class ObjectDetectorCallback(Callback):
+    """Render first-val-batch predictions to the logger
+    (object_detector_callback.py:42-196)."""
+
+    def __init__(self, max_images: int = 4):
+        self.max_images = max_images
+        self._logged_this_epoch = False
+
+    def on_val_batch_end(self, trainer, outputs, batch, metrics):
+        if self._logged_this_epoch or trainer.inference_fn is None:
+            return
+        frames = batch.get("frames")
+        if frames is None:
+            return
+        p_boxes = trainer.inference_fn(outputs)
+        for b in range(min(self.max_images, len(p_boxes))):
+            frame = frames[b] if frames.has_dim("B") else frames
+            view = p_boxes[b].get_view(
+                frame=np.clip(frame.norm01().as_image(np.float32) / 255, 0, 1)
+                if hasattr(frame, "norm01") else None,
+                frame_size=frame.HW)
+            trainer.logger.log_image(f"val/pred_boxes_{b}", view.image,
+                                     trainer.global_step)
+        self._logged_this_epoch = True
+
+    def on_val_epoch_end(self, trainer, step):
+        self._logged_this_epoch = False

@@ -1,0 +1,134 @@
+"""Data modules: datasets -> model-ready device batches
+(reference: alonet/detr/data_modules/data2detr.py + coco_data2detr.py,
+alonet/raft/data_modules/).
+
+The reference pads each batch to its own max size (dynamic shapes). XLA wants
+static shapes, so prepare_batch pads every batch to one canonical
+``batch_size_hw`` (the batch_list mask marks the padding) — one compiled
+train step for the whole run.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import aloscene
+from ..alodataset import CocoBaseDataset, FlyingChairs2Dataset, Split
+from ..alodataset import transforms as T
+from ..models.detr.criterion import targets_from_frames
+
+
+class CocoDetection2Detr:
+    """(coco_data2detr.py / data2detr.py:131) COCO -> DETR batches."""
+
+    def __init__(self, batch_size: int = 2, num_workers: int = 2,
+                 train_on_val: bool = False, sample: bool = False,
+                 size: Tuple[int, int] = (480, 640),
+                 scales: Optional[List[int]] = None,
+                 max_targets: int = 100, classes: Optional[List[str]] = None,
+                 **dataset_kwargs):
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.size = size
+        self.max_targets = max_targets
+        scales = scales or [392, 416, 448, 480]
+
+        # train transforms (data2detr.py:131): flip + multi-scale resize;
+        # final Resize to the canonical size keeps shapes static
+        self.train_transform = T.Compose([
+            T.RandomHorizontalFlip(p=0.5),
+            T.RandomResizeWithAspectRatio(scales, max_size=int(size[1] * 1.2)),
+            T.Resize(tuple(size)),
+        ])
+        self.val_transform = T.Resize(tuple(size))
+
+        def make(split, tfn):
+            if sample:
+                return CocoBaseDataset(
+                    sample=True,
+                    transform_fn=lambda f: tfn(f).norm_resnet(),
+                    **dataset_kwargs)
+            from ..alodataset import CocoDetectionDataset
+            return CocoDetectionDataset(
+                split=split, classes=classes,
+                transform_fn=lambda f: tfn(f).norm_resnet(), **dataset_kwargs)
+
+        self.train_dataset = make(
+            Split.VAL if train_on_val else Split.TRAIN, self.train_transform)
+        self.val_dataset = make(Split.VAL, self.val_transform)
+        self.label_names = getattr(self.train_dataset, "labels_names", None)
+
+    def train_dataloader(self):
+        return self.train_dataset.train_loader(
+            batch_size=self.batch_size, num_workers=self.num_workers)
+
+    def val_dataloader(self):
+        return self.val_dataset.train_loader(
+            batch_size=self.batch_size, num_workers=self.num_workers,
+            shuffle=False)
+
+    def prepare_batch(self, frames_list: List, training: bool = True) -> Dict:
+        """list[Frame] -> {"inputs": (images NHWC, mask), "targets", "frames"}
+        (the LitDetr.training_step preamble, detr/train.py:129-311)."""
+        batched = aloscene.batch_list(frames_list)
+        images = np.asarray(batched.as_layout(("B", "H", "W", "C")),
+                            np.float32)
+        mask = np.asarray(
+            batched.mask.as_layout(("B", "H", "W", "C")), np.float32)[..., 0]
+        targets = targets_from_frames(batched, max_targets=self.max_targets)
+        return {"inputs": (images, mask), "targets": targets,
+                "frames": batched}
+
+
+class Data2RAFT:
+    """(raft/data_modules/chairs2raft.py) FlyingChairs2 -> RAFT batches."""
+
+    def __init__(self, batch_size: int = 2, num_workers: int = 2,
+                 sample: bool = False, size: Tuple[int, int] = (368, 496),
+                 **dataset_kwargs):
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.size = size
+        self.train_dataset = FlyingChairs2Dataset(
+            split=Split.TRAIN, sample=sample, **dataset_kwargs)
+        self.val_dataset = FlyingChairs2Dataset(
+            split=Split.VAL if not sample else Split.TRAIN, sample=sample,
+            **dataset_kwargs)
+
+    def train_dataloader(self):
+        return self.train_dataset.train_loader(
+            batch_size=self.batch_size, num_workers=self.num_workers)
+
+    def val_dataloader(self):
+        return self.val_dataset.train_loader(
+            batch_size=self.batch_size, num_workers=self.num_workers,
+            shuffle=False)
+
+    def prepare_batch(self, frames_list: List, training: bool = True) -> Dict:
+        """T=2 frames -> {"inputs": (frame1, frame2), "targets": (flow, valid)}
+        (LitRAFT train preamble, raft/train.py:73; minmax_sym norm per
+        raft.py:157)."""
+        f1s, f2s, flows, valids = [], [], [], []
+        for frames in frames_list:
+            frames = frames.norm_minmax_sym() \
+                if hasattr(frames, "norm_minmax_sym") else frames
+            f1 = frames[0]
+            f2 = frames[1]
+            flow_slot = f1.get_child("flow")
+            if isinstance(flow_slot, dict):
+                flow_slot = flow_slot.get("flow_forward",
+                                          next(iter(flow_slot.values())))
+            flow = np.asarray(flow_slot.as_numpy(), np.float32)
+            occ = flow_slot.get_child("occlusion")
+            valid = 1.0 - (np.asarray(occ.as_numpy(), np.float32)[0]
+                           if occ is not None and not isinstance(occ, dict)
+                           else np.zeros(flow.shape[1:], np.float32))
+            f1s.append(np.asarray(f1.as_layout(("H", "W", "C")), np.float32))
+            f2s.append(np.asarray(f2.as_layout(("H", "W", "C")), np.float32))
+            flows.append(np.moveaxis(flow, 0, -1))
+            valids.append(valid)
+        return {"inputs": (np.stack(f1s), np.stack(f2s)),
+                "targets": {"flow": np.stack(flows),
+                            "valid": np.stack(valids)}}

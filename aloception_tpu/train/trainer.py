@@ -1,0 +1,188 @@
+"""Generic training driver — the ``run_pl_training`` analog
+(reference: alonet/common/pl_helpers.py:295 and BaseLightningModule,
+common/base_lightningmodule.py:9).
+
+A Trainer owns: model + criterion (one jitted train step), the device mesh
+(data parallel by default), optimizer/TrainState, checkpointing (best/last by
+monitor), logging, and the callback list. ``fit`` runs epochs of the train
+loader with periodic validation; everything batch-shaped moves through
+parallel/shard.py so multi-chip runs need no code change.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..parallel import make_mesh, shard_batch, partition_params, replicate
+from .callbacks import Callback, MetricsCallback
+from .checkpoint import CheckpointManager
+from .experiment import get_expe_infos
+from .logger import make_logger
+from .state import make_train_state, make_optimizer
+
+
+class Trainer:
+
+    def __init__(self, model, criterion: Callable,
+                 prepare_batch: Callable,
+                 inference_fn: Optional[Callable] = None,
+                 mesh=None, tp: Optional[int] = None,
+                 optimizer=None, lr: float = 1e-4, lr_backbone: float = 1e-5,
+                 weight_decay: float = 1e-4, grad_clip: float = 0.1,
+                 accumulate_grad_batches: int = 1,
+                 project: str = "default", expe_name: str = "run",
+                 log: Optional[str] = None, log_dir: Optional[str] = None,
+                 run_id: Optional[str] = None,
+                 monitor: str = "val_loss_total", monitor_mode: str = "min",
+                 save_top_k: int = 1,
+                 callbacks: Optional[List[Callback]] = None,
+                 val_check_interval: Optional[int] = None,
+                 limit_train_batches: Optional[int] = None,
+                 limit_val_batches: Optional[int] = None,
+                 seed: int = 0):
+        self.model = model
+        self.criterion = criterion
+        self.prepare_batch = prepare_batch
+        self.inference_fn = inference_fn
+        self.mesh = mesh if mesh is not None else make_mesh(tp=tp)
+        self.optimizer = optimizer if optimizer is not None else make_optimizer(
+            lr=lr, lr_backbone=lr_backbone, weight_decay=weight_decay,
+            grad_clip=grad_clip, accumulate_steps=accumulate_grad_batches)
+        self.expe_name, self.run_id, self.ckpt_dir = get_expe_infos(
+            project, expe_name, log_dir=log_dir, run_id=run_id)
+        self.logger = make_logger(log, self.ckpt_dir)
+        self.ckpt = CheckpointManager(self.ckpt_dir, monitor=monitor,
+                                      mode=monitor_mode, save_top_k=save_top_k)
+        self.callbacks = callbacks if callbacks is not None else [MetricsCallback()]
+        self.val_check_interval = val_check_interval
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.seed = seed
+        self.state = None
+        self.global_step = 0
+        self.last_val_metrics: Dict[str, float] = {}
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        model, criterion = self.model, self.criterion
+
+        def train_step(state, batch):
+            rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+            def loss_fn(params):
+                out = model.apply(params, *batch["inputs"],
+                                  deterministic=False,
+                                  rngs={"dropout": rng})
+                loss, metrics = criterion(out, batch["targets"])
+                return loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads=grads), metrics
+
+        def eval_step(params, batch):
+            out = model.apply(params, *batch["inputs"], deterministic=True)
+            loss, metrics = criterion(out, batch["targets"])
+            return out, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+    def _init_state(self, batch):
+        params = self.model.init(jax.random.PRNGKey(self.seed),
+                                 *batch["inputs"])
+        with self.mesh:
+            params = partition_params(params, self.mesh)
+            state = make_train_state(self.model, params, tx=self.optimizer,
+                                     rng=jax.random.PRNGKey(self.seed + 1))
+            self.state = state.replace(
+                opt_state=replicate(state.opt_state, self.mesh))
+
+    def _device_batch(self, prepared: Dict) -> Dict:
+        with self.mesh:
+            return shard_batch(
+                {"inputs": prepared["inputs"], "targets": prepared["targets"]},
+                self.mesh)
+
+    # ------------------------------------------------------------------
+    def fit(self, train_loader, val_loader=None, max_epochs: int = 1,
+            max_steps: Optional[int] = None, resume: bool = False):
+        """(pl_helpers.py:377 trainer.fit)"""
+        if self._train_step is None:
+            self._build_steps()
+        t0 = time.time()
+        for epoch in range(max_epochs):
+            for i, raw in enumerate(train_loader):
+                if self.limit_train_batches and i >= self.limit_train_batches:
+                    break
+                prepared = self.prepare_batch(raw)
+                batch = self._device_batch(prepared)
+                if self.state is None:
+                    self._init_state(batch)
+                    if resume:
+                        try:
+                            restored = self.ckpt.restore(
+                                jax.device_get(self.state))
+                            # re-place restored arrays onto the mesh (orbax
+                            # restores to a single device)
+                            with self.mesh:
+                                self.state = self.state.replace(
+                                    params=partition_params(
+                                        restored.params, self.mesh),
+                                    opt_state=replicate(
+                                        restored.opt_state, self.mesh),
+                                    step=restored.step,
+                                    dropout_rng=jnp.asarray(
+                                        restored.dropout_rng))
+                            self.global_step = int(restored.step)
+                            print(f"[trainer] resumed from step "
+                                  f"{self.ckpt.last_step()}")
+                        except FileNotFoundError:
+                            pass
+                with self.mesh:
+                    self.state, metrics = self._train_step(self.state, batch)
+                self.global_step += 1
+                for cb in self.callbacks:
+                    cb.on_train_batch_end(self, metrics, self.global_step)
+                if max_steps and self.global_step >= max_steps:
+                    break
+                if (self.val_check_interval
+                        and self.global_step % self.val_check_interval == 0
+                        and val_loader is not None):
+                    self.validate(val_loader)
+            if val_loader is not None:
+                self.validate(val_loader)
+            self.ckpt.save(self.global_step, self.state,
+                           metrics=self.last_val_metrics)
+            for cb in self.callbacks:
+                cb.on_epoch_end(self, epoch)
+            if max_steps and self.global_step >= max_steps:
+                break
+        self.logger.flush()
+        return self.state
+
+    def validate(self, val_loader):
+        """(pl_helpers.py:420 run_pl_validate)"""
+        if self._eval_step is None:
+            self._build_steps()
+        assert self.state is not None, "validate() before any training step"
+        for i, raw in enumerate(val_loader):
+            if self.limit_val_batches and i >= self.limit_val_batches:
+                break
+            prepared = self.prepare_batch(raw, training=False)
+            batch = self._device_batch(prepared)
+            with self.mesh:
+                outputs, metrics = self._eval_step(self.state.params, batch)
+            for cb in self.callbacks:
+                cb.on_val_batch_end(self, jax.device_get(outputs),
+                                    prepared, metrics)
+        for cb in self.callbacks:
+            cb.on_val_epoch_end(self, self.global_step)
+        return self.last_val_metrics
