@@ -26,9 +26,7 @@ def __getattr__(name):
     if name == "WaymoDataset":
         from .waymo import WaymoDataset
         return WaymoDataset
-    if name in ("KittiStereoFlow2012", "KittiStereoFlowSFlow2015",
-                "KittiDepthDataset", "KittiTrackingDataset",
-                "KittiOdometryDataset", "KittiObjectDataset"):
+    if name.startswith("Kitti"):
         from . import kitti
         return getattr(kitti, name)
     if name == "WooDScapeDataset":

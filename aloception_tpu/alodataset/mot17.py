@@ -1,0 +1,103 @@
+"""MOT17 multi-object tracking (reference: alodataset/mot17.py:15).
+
+Layout: <split>/<sequence>/{seqinfo.ini, img1/%06d.jpg, gt/gt.txt}. gt.txt
+rows: frame, track_id, x, y, w, h, conf, class, visibility. getitem returns a
+T-dim Frame sequence with per-frame boxes2d carrying track-id Labels.
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..aloscene import BoundingBoxes2D, Frame, Labels
+from ..aloscene.spatial import _cat_batched
+from .base_dataset import BaseDataset, Split
+from .mixins import SequenceMixin, SplitMixin
+
+
+class Mot17(SequenceMixin, SplitMixin, BaseDataset):
+
+    SPLIT_FOLDERS = {Split.TRAIN: "train", Split.VAL: "train",
+                     Split.TEST: "test"}
+
+    def __init__(self, split: Split = Split.TRAIN, sequence_size: int = 2,
+                 detections_set: str = "FRCNN", sample: bool = False,
+                 validation_sequences: Optional[List[str]] = None, **kwargs):
+        self.split = split
+        self.detections_set = detections_set
+        super().__init__(name="mot17", sample=sample,
+                         sequence_size=sequence_size, **kwargs)
+        if sample:
+            self.items = list(range(4))
+            return
+        self.mot_folder = os.path.join(self.dataset_dir,
+                                       self.get_split_folder())
+        self.items = []
+        self.gt: Dict[str, Dict[int, List]] = {}
+        for seq in sorted(os.listdir(self.mot_folder)):
+            if detections_set not in seq:
+                continue
+            if validation_sequences is not None:
+                in_val = seq in validation_sequences
+                if (split == Split.VAL) != in_val:
+                    continue
+            info = configparser.ConfigParser()
+            info.read(os.path.join(self.mot_folder, seq, "seqinfo.ini"))
+            n = int(info["Sequence"]["seqLength"])
+            gt_path = os.path.join(self.mot_folder, seq, "gt", "gt.txt")
+            per_frame = defaultdict(list)
+            if os.path.exists(gt_path):
+                with open(gt_path) as f:
+                    for line in f:
+                        p = line.strip().split(",")
+                        frame_id, track = int(p[0]), int(p[1])
+                        x, y, w, h = map(float, p[2:6])
+                        conf = float(p[6])
+                        if conf == 0:
+                            continue
+                        per_frame[frame_id].append((track, x, y, w, h))
+            self.gt[seq] = per_frame
+            step = self.sequence_skip + 1
+            span = (self.sequence_size - 1) * step
+            for start in range(1, n + 1 - span):
+                self.items.append((seq, [start + k * step
+                                         for k in range(self.sequence_size)]))
+
+    def _frame_with_gt(self, seq: str, frame_id: int) -> Frame:
+        frame = Frame(os.path.join(self.mot_folder, seq, "img1",
+                                   f"{frame_id:06d}.jpg"))
+        H, W = frame.HW
+        dets = self.gt.get(seq, {}).get(frame_id, [])
+        boxes, tracks = [], []
+        for track, x, y, w, h in dets:
+            boxes.append([(x + w / 2) / W, (y + h / 2) / H, w / W, h / H])
+            tracks.append(track)
+        frame.append_boxes2d(BoundingBoxes2D(
+            np.asarray(boxes, np.float32).reshape(-1, 4), "xcyc", False,
+            labels=Labels(np.asarray(tracks, np.float32))))
+        return frame
+
+    def _getitem_sample(self, idx: int) -> Frame:
+        rng = np.random.RandomState(5000 + idx)
+        frames = []
+        for t in range(self.sequence_size):
+            f = Frame(rng.uniform(0, 255, (3, 96, 128)).astype(np.float32))
+            xc = 0.3 + 0.05 * t
+            f.append_boxes2d(BoundingBoxes2D(
+                np.array([[xc, 0.5, 0.2, 0.3]], np.float32), "xcyc", False,
+                labels=Labels(np.array([7.0], np.float32))))
+            frames.append(f.temporal())
+        return _cat_batched(frames, axis_name="T")
+
+    def getitem(self, idx: int) -> Frame:
+        if self.sample:
+            return self._getitem_sample(idx)
+        seq, frame_ids = self.items[idx]
+        return _cat_batched(
+            [self._frame_with_gt(seq, fid).temporal() for fid in frame_ids],
+            axis_name="T")
