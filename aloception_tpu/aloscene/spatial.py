@@ -177,8 +177,11 @@ class SpatialAugmentedArray(AugmentedArray):
     def _resize(self, size01, method: str = "bilinear", **kwargs):
         """Resize payload by relative ratios (spatial_augmented_tensor.py:523).
 
-        Uses jax.image.resize (half-pixel centers, like torchvision bilinear
-        with antialias=False); traces cleanly under jit for static targets.
+        Host numpy data goes through cv2 INTER_LINEAR — plain bilinear with
+        half-pixel centers, matching the reference's torchvision
+        antialias=False and the native C++ loader. Traced arrays use
+        jax.image.resize (which anti-aliases downsampling — the only path
+        divergence, and only under jit).
         """
         h = self.relative_to_absolute(size01[0], "h")
         w = self.relative_to_absolute(size01[1], "w")
@@ -187,11 +190,26 @@ class SpatialAugmentedArray(AugmentedArray):
         n_shape[self.dim_idx("W")] = w
         if 0 in self.shape:  # empty tensor: reshape only
             return self._with_array(np.zeros(tuple(n_shape), dtype=self.dtype))
-        was_np = isinstance(self.array, np.ndarray)
+        if isinstance(self.array, np.ndarray):
+            import cv2
+            interp = cv2.INTER_LINEAR if method == "bilinear" \
+                else cv2.INTER_NEAREST
+            h_idx, w_idx = self.dim_idx("H"), self.dim_idx("W")
+            perm = [h_idx, w_idx] + [i for i in range(self.ndim)
+                                     if i not in (h_idx, w_idx)]
+            a = np.transpose(self.array, perm).astype(np.float32)
+            lead = a.shape[2:]
+            a = a.reshape(a.shape[0], a.shape[1], -1)
+            chunks = [cv2.resize(a[..., i:i + 4], (w, h), interpolation=interp)
+                      for i in range(0, a.shape[-1], 4)]
+            chunks = [c[..., None] if c.ndim == 2 else c for c in chunks]
+            out = np.concatenate(chunks, axis=-1).reshape((h, w) + lead)
+            out = np.transpose(out, np.argsort(perm)).astype(self.dtype)
+            return self._with_array(out)
         out = jax.image.resize(jnp.asarray(self.array, dtype=jnp.float32),
                                tuple(n_shape), method=method)
         out = out.astype(self.dtype) if self.dtype != np.float32 else out
-        return self._with_array(np.asarray(out) if was_np else out)
+        return self._with_array(out)
 
     def _rotate(self, angle, center=None, fill: float = 0.0, **kwargs):
         """Rotate payload by `angle` degrees counter-clockwise around `center`

@@ -48,31 +48,42 @@ def corr_lookup(pyramid: List[jnp.ndarray], coords, radius: int = 4):
 
     coords: (B, H, W, 2) current (x, y) positions at level 0.
     Returns (B, H, W, num_levels * (2r+1)^2).
+
+    TPU formulation: per level all (window, corner) samples collapse into one
+    row gather over the flattened Hl*Wl axis (take_along_axis per query row)
+    — no per-pixel vmap gathers.
     """
     B, N, H, W = pyramid[0].shape
     r = radius
     d = 2 * r + 1
-    dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    dy = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    delta = jnp.stack(jnp.meshgrid(dy, dx, indexing="ij"), axis=-1)  # (d, d, 2) [dy, dx]
+    dy, dx = jnp.meshgrid(jnp.arange(-r, r + 1, dtype=jnp.float32),
+                          jnp.arange(-r, r + 1, dtype=jnp.float32),
+                          indexing="ij")
+    dx = dx.reshape(-1)   # (d*d,)
+    dy = dy.reshape(-1)
 
     outs = []
     for lvl, c in enumerate(pyramid):
         Hl, Wl = c.shape[2], c.shape[3]
-        cl = c.reshape(B, N, Hl, Wl, 1)
-        centroid = coords / (2 ** lvl)  # (B, H, W, 2) xy
+        cl = c.reshape(B, N, Hl * Wl)
+        centroid = coords.reshape(B, N, 2) / (2 ** lvl)
+        xs = centroid[..., 0:1] + dx[None, None]     # (B, N, d*d)
+        ys = centroid[..., 1:2] + dy[None, None]
+        x0 = jnp.floor(xs)
+        y0 = jnp.floor(ys)
+        wx = xs - x0
+        wy = ys - y0
 
-        def sample_one(vol_n, ctr):
-            # vol_n: (Hl, Wl, 1); ctr: (2,)
-            xs = ctr[0] + delta[..., 1]
-            ys = ctr[1] + delta[..., 0]
-            return bilinear_sample(vol_n, xs, ys)[..., 0]  # (d, d)
+        def corner(yy, xx, cw):
+            valid = (xx >= 0) & (xx < Wl) & (yy >= 0) & (yy < Hl)
+            flat = (jnp.clip(yy, 0, Hl - 1).astype(jnp.int32) * Wl
+                    + jnp.clip(xx, 0, Wl - 1).astype(jnp.int32))
+            g = jnp.take_along_axis(cl, flat, axis=2)
+            return g * jnp.where(valid, cw, 0.0)
 
-        def per_image(vol, ctrs):
-            # vol: (N, Hl, Wl, 1); ctrs: (N, 2)
-            return jax.vmap(sample_one)(vol, ctrs)  # (N, d, d)
-
-        ctrs = centroid.reshape(B, N, 2)
-        sampled = jax.vmap(per_image)(cl, ctrs)      # (B, N, d, d)
+        sampled = corner(y0, x0, (1 - wy) * (1 - wx)) \
+            + corner(y0, x0 + 1, (1 - wy) * wx) \
+            + corner(y0 + 1, x0, wy * (1 - wx)) \
+            + corner(y0 + 1, x0 + 1, wy * wx)        # (B, N, d*d)
         outs.append(sampled.reshape(B, H, W, d * d))
     return jnp.concatenate(outs, axis=-1)

@@ -93,15 +93,65 @@ def ms_deform_attn_lax(value, value_spatial_shapes, sampling_locations,
     return out.reshape(B, Lq, nH * C)
 
 
+def ms_deform_attn_fast(value, value_spatial_shapes, sampling_locations,
+                        attention_weights):
+    """TPU-optimized formulation: per level, all (query, head, point, corner)
+    samples collapse into ONE row gather (take_along_axis on the flattened
+    H*W axis) — the layout XLA lowers best on TPU (contiguous (nH*C)-lane
+    rows), replacing the generic 4-index gather of the reference semantics.
+    Numerically identical to ms_deform_attn_lax.
+    """
+    B, Len_v, nH, C = value.shape
+    Lq = sampling_locations.shape[1]
+    P = sampling_locations.shape[4]
+    starts = _level_starts(value_spatial_shapes)
+
+    out = jnp.zeros((B, Lq, nH, C), jnp.float32)
+    for lvl, (H_l, W_l) in enumerate(value_spatial_shapes):
+        value_l = jax.lax.dynamic_slice_in_dim(value, starts[lvl], H_l * W_l,
+                                               axis=1)           # (B, HW, nH, C)
+        loc = sampling_locations[:, :, :, lvl]                   # (B, Lq, nH, P, 2)
+        w = attention_weights[:, :, :, lvl]                      # (B, Lq, nH, P)
+
+        x = loc[..., 0] * W_l - 0.5
+        y = loc[..., 1] * H_l - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = (x - x0)[..., None]
+        wy = (y - y0)[..., None]
+
+        def corner(yy, xx, cw):
+            valid = (xx >= 0) & (xx < W_l) & (yy >= 0) & (yy < H_l)
+            flat = (jnp.clip(yy, 0, H_l - 1).astype(jnp.int32) * W_l
+                    + jnp.clip(xx, 0, W_l - 1).astype(jnp.int32))
+            # (B, Lq, nH, P) -> (B, Lq*P, nH, 1): single-axis row gather
+            idx = flat.transpose(0, 1, 3, 2).reshape(B, Lq * P, nH, 1)
+            g = jnp.take_along_axis(value_l, idx, axis=1)        # (B, LqP, nH, C)
+            g = g.reshape(B, Lq, P, nH, C).transpose(0, 1, 3, 2, 4)
+            m = jnp.where(valid[..., None], cw, 0.0)  # (B, Lq, nH, P, 1)
+            return g.astype(jnp.float32) * m.astype(jnp.float32)
+
+        sampled = corner(y0, x0, (1 - wy) * (1 - wx)) \
+            + corner(y0, x0 + 1, (1 - wy) * wx) \
+            + corner(y0 + 1, x0, wy * (1 - wx)) \
+            + corner(y0 + 1, x0 + 1, wy * wx)                    # (B, Lq, nH, P, C)
+        out = out + (sampled * w[..., None].astype(jnp.float32)).sum(axis=3)
+    return out.reshape(B, Lq, nH * C).astype(value.dtype)
+
+
 def ms_deform_attn(value, value_spatial_shapes, sampling_locations,
-                   attention_weights, use_pallas: bool = True):
-    """Dispatch: Pallas TPU kernel when available, lax fallback otherwise."""
-    if use_pallas:
+                   attention_weights, impl: str = "fast"):
+    """Dispatch between implementations ('fast' take_along_axis | 'lax'
+    reference | 'pallas' kernel when available)."""
+    if impl == "pallas":
         try:
             from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas
             return ms_deform_attn_pallas(value, value_spatial_shapes,
                                          sampling_locations, attention_weights)
         except (ImportError, NotImplementedError):
-            pass
+            impl = "fast"
+    if impl == "fast":
+        return ms_deform_attn_fast(value, value_spatial_shapes,
+                                   sampling_locations, attention_weights)
     return ms_deform_attn_lax(value, value_spatial_shapes,
                               sampling_locations, attention_weights)

@@ -8,4 +8,4 @@ from .callbacks import (Callback, MetricsCallback, ApMetricsCallback,  # noqa: F
                         ObjectDetectorCallback)
 from .data_modules import CocoDetection2Detr, Data2RAFT  # noqa: F401
 from .trainers import (make_detr_trainer, make_deformable_detr_trainer,  # noqa: F401
-                       make_raft_trainer)
+                       make_raft_trainer, make_panoptic_trainer)

@@ -97,3 +97,94 @@ def make_raft_trainer(small: bool = False, iters: int = 12,
         **trainer_kwargs)
     trainer.data_module = dm
     return trainer
+
+
+def make_panoptic_trainer(num_classes: int = 250, data_module=None,
+                          detector=None, freeze_detector: bool = True,
+                          dtype=jnp.float32, **trainer_kwargs):
+    """(detr_panoptic/train.py:13 LitPanopticDetr): a PanopticHead wrapped
+    around a (by default frozen) DETR detector; only the head trains.
+
+    The returned Trainer's model is a composite flax-less callable pair; the
+    criterion composes the detection losses with DICE+focal mask losses.
+    """
+    from functools import partial as _partial
+    import jax as _jax
+    import flax.linen as _nn
+    from ..models.detr import Detr
+    from ..models.panoptic import PanopticHead, panoptic_criterion
+    from .data_modules import CocoDetection2Detr
+
+    dm = data_module or CocoDetection2Detr(sample=True, return_masks=True)
+    n_cls = len(dm.label_names) if dm.label_names else num_classes
+
+    class DetrPanoptic(_nn.Module):
+        """Detector + head in one module (detr_panoptic.py:22 wrapping).
+        Freezing = stop_gradient on the detector outputs + the optimizer
+        masks its subtree (detr_panoptic.py:80 freezes by default).
+        NOTE: methods close over the factory's dtype/detector args (flax
+        dataclass fields cannot - class bodies do not see function scope)."""
+
+        @_nn.compact
+        def __call__(self, images, mask=None, deterministic=True):
+            # a module built outside compact is unbound; re-instantiating it
+            # HERE lets flax adopt it as a child of this module
+            if detector is not None:
+                import dataclasses as _dc
+                attrs = {f.name: getattr(detector, f.name)
+                         for f in _dc.fields(detector)
+                         if f.name not in ("parent", "name")}
+                det = type(detector)(**attrs, name="detector")
+            else:
+                det = Detr(num_classes=n_cls, return_intermediate=True,
+                           dtype=dtype, name="detector")
+            out = det(images, mask, deterministic=deterministic)
+            if freeze_detector:
+                out = _jax.tree.map(
+                    lambda x: _jax.lax.stop_gradient(x)
+                    if hasattr(x, "dtype") else x, out)
+            return PanopticHead(hidden_dim=det.hidden_dim,
+                                num_heads=det.nheads, dtype=dtype,
+                                name="panoptic_head")(out)
+
+    model = DetrPanoptic()
+    n_queries = detector.num_queries if detector is not None else 100
+    dm.max_targets = min(dm.max_targets, n_queries)
+    trainer_kwargs.setdefault("project", "panoptic")
+    trainer = Trainer(
+        model=model,
+        criterion=panoptic_criterion,
+        prepare_batch=_make_panoptic_prepare(dm),
+        inference_fn=None,
+        **trainer_kwargs)
+    trainer.data_module = dm
+    return trainer
+
+
+def _make_panoptic_prepare(dm):
+    """Extend the DETR batch with padded instance masks."""
+    import numpy as _np
+
+    def prepare(frames_list, training=True):
+        out = dm.prepare_batch(frames_list, training=training)
+        frames = out["frames"]
+        B = out["inputs"][0].shape[0]
+        H, W = out["inputs"][0].shape[1:3]
+        Nt = out["targets"]["boxes"].shape[1]
+        masks = _np.zeros((B, Nt, H, W), _np.float32)
+        seg_slot = frames.get_child("segmentation")
+        seg_list = seg_slot if isinstance(seg_slot, list) else [seg_slot] * B
+        for b, seg in enumerate(seg_list[:B]):
+            if seg is None or isinstance(seg, dict):
+                continue
+            m = _np.asarray(seg.as_numpy())
+            n = min(m.shape[0], Nt)
+            if m.shape[-2:] != (H, W):
+                import cv2
+                m = _np.stack([cv2.resize(mm, (W, H),
+                                          interpolation=cv2.INTER_NEAREST)
+                               for mm in m[:n]]) if n else m[:n]
+            masks[b, :n] = m[:n]
+        out["targets"]["masks"] = masks
+        return out
+    return prepare
