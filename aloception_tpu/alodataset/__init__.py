@@ -35,4 +35,7 @@ def __getattr__(name):
     if name in ("FlyingThings3DSubsetDataset", "ChairsSDHomDataset"):
         from . import flying_things
         return getattr(flying_things, name)
+    if name == "LvisDataset":
+        from .lvis import LvisDataset
+        return LvisDataset
     raise AttributeError(name)

@@ -116,3 +116,54 @@ class ObjectDetectorCallback(Callback):
 
     def on_val_epoch_end(self, trainer, step):
         self._logged_this_epoch = False
+
+
+class PQMetricsCallback(Callback):
+    """Accumulate panoptic quality over validation
+    (pq_metrics_callback.py:15). Needs trainer.inference_fn returning
+    (boxes, masks) pairs and gt segmentation on the frames."""
+
+    def __init__(self, isthing=None):
+        from ..metrics import PQMetrics
+        self._make = PQMetrics
+        self.pq = PQMetrics()
+        self.isthing = isthing
+
+    def on_val_batch_end(self, trainer, outputs, batch, metrics):
+        frames = batch.get("frames")
+        if frames is None or trainer.inference_fn is None:
+            return
+        results = trainer.inference_fn(outputs)
+        seg_slot = frames.get_child("segmentation")
+        seg_list = seg_slot if isinstance(seg_slot, list) else [seg_slot]
+        for (boxes, masks), gt in zip(results, seg_list):
+            if gt is not None and not isinstance(gt, dict):
+                self.pq.add_sample(masks, gt, isthing=self.isthing)
+
+    def on_val_epoch_end(self, trainer, step):
+        for isthing, tag in ((None, "all"), (True, "things"), (False, "stuff")):
+            out = self.pq.pq_average(isthing=isthing, print_result=True)
+            trainer.logger.log_scalars(
+                {f"PQ_{tag}_{k}": v for k, v in out.items()}, step,
+                prefix="val/")
+        self.pq = self._make()
+
+
+class EPECallback(Callback):
+    """End-point-error accumulation for flow models
+    (reference: alonet/raft/callbacks/epe.py:7). The RAFT criterion already
+    emits epe/1px/3px/5px; this callback aggregates + logs them."""
+
+    def __init__(self):
+        self._epes = []
+
+    def on_val_batch_end(self, trainer, outputs, batch, metrics):
+        if "epe" in metrics:
+            self._epes.append(float(metrics["epe"]))
+
+    def on_val_epoch_end(self, trainer, step):
+        if self._epes:
+            epe = float(np.mean(self._epes))
+            trainer.logger.log_scalar("val/EPE", epe, step)
+            print(f"[EPE] {epe:.4f} over {len(self._epes)} val batches")
+            self._epes = []

@@ -23,9 +23,9 @@ TRT_A100_IMG_S = 96.0
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--backend", default=None, help="force jax platform (cpu)")
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", type=int, default=32)
     p.add_argument("--size", type=int, default=640)
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=16)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--tiny", action="store_true", help="tiny model (CPU smoke)")
     args = p.parse_args()
