@@ -25,6 +25,13 @@ def rgb2id(png: np.ndarray) -> np.ndarray:
     return png[..., 0] + 256 * png[..., 1] + 256 * 256 * png[..., 2]
 
 
+def id2rgb(ids: np.ndarray) -> np.ndarray:
+    """Inverse of rgb2id (panoptic png writer)."""
+    ids = ids.astype(np.uint32)
+    return np.stack([ids % 256, (ids // 256) % 256, ids // (256 * 256)],
+                    axis=-1).astype(np.uint8)
+
+
 class CocoPanopticDataset(SplitMixin, BaseDataset):
 
     SPLIT_FOLDERS = {Split.TRAIN: "train2017", Split.VAL: "val2017"}

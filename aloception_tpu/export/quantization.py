@@ -101,3 +101,28 @@ class MinMaxCalibrator:
                 if names is None or k in names:
                     self.observe(k, v)
         return self.scales()
+
+
+def fake_quant(x, bits: int = 8, axis: int = -1):
+    """Straight-through fake quantization — the QAT building block
+    (reference: torch2trt/quantization.py:12 QuantizedModel wraps layers in
+    pytorch-quantization fake-quant nodes; here it's one differentiable
+    function to insert in a flax module)."""
+    qmax = 2.0 ** (bits - 1) - 1
+    scale = jnp.max(jnp.abs(x), axis=axis, keepdims=True) / qmax
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(x / scale), -qmax, qmax) * scale
+    # straight-through estimator: identity gradient
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def quantize_params_for_qat(params, bits: int = 8, min_size: int = 1024):
+    """Apply fake-quant to every large kernel — simulate int8 deployment
+    during finetuning (QAT), so the exported int8 engine matches training."""
+    def _fq(path, x):
+        names = [getattr(p, "key", str(p)) for p in path]
+        if (names and names[-1] == "kernel" and getattr(x, "ndim", 0) >= 2
+                and x.size >= min_size):
+            return fake_quant(x, bits=bits, axis=tuple(range(x.ndim - 1)))
+        return x
+    return jax.tree_util.tree_map_with_path(_fq, params)

@@ -133,6 +133,13 @@ class DeformableDETR(nn.Module):
         if self.return_intermediate:
             out["dec_outputs"] = hs
             out["enc_outputs"] = memory
+            # PanopticHead consumes a spatial memory map: un-flatten level 0
+            # (the finest scale) back to (B, H0, W0, C)
+            # (deformable_detr_panoptic/ wiring in the reference)
+            H0, W0 = spatial_shapes[0]
+            out["enc_outputs_spatial"] = memory[:, :H0 * W0].reshape(
+                memory.shape[0], H0, W0, self.hidden_dim)
+            out["feat_mask"] = masks[0]
             out["bb_outputs"] = [f for f, _ in feats[:-3]]
             out["bb_masks"] = [m for _, m in feats[:-3]]
             out["srcs_masks"] = masks

@@ -100,7 +100,10 @@ class PanopticHead(nn.Module):
     @nn.compact
     def __call__(self, m_outputs: Dict[str, Any]) -> Dict[str, Any]:
         hs = m_outputs["dec_outputs"][-1]            # (B, Nq, C)
-        memory = m_outputs["enc_outputs"]            # (B, H, W, C)
+        memory = m_outputs.get("enc_outputs_spatial",
+                               m_outputs["enc_outputs"])  # (B, H, W, C)
+        # DETR-family detectors emit spatial memory directly; deformable
+        # exposes the un-flattened finest level as enc_outputs_spatial
         feat_mask = m_outputs.get("feat_mask")       # (B, H, W)
         bb_feats = m_outputs["bb_outputs"]           # [layer1, layer2, layer3]
         B, Nq, _ = hs.shape
