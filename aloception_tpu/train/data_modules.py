@@ -83,17 +83,33 @@ class CocoDetection2Detr:
 
 
 class Data2RAFT:
-    """(raft/data_modules/chairs2raft.py) FlyingChairs2 -> RAFT batches."""
+    """(raft/data_modules/: chairs2raft, things2raft, sdhom2raft,
+    sintel2raft) flow datasets -> RAFT batches; pick with ``dataset``."""
+
+    DATASETS = ("chairs", "things", "sdhom", "sintel")
 
     def __init__(self, batch_size: int = 2, num_workers: int = 2,
                  sample: bool = False, size: Tuple[int, int] = (368, 496),
-                 **dataset_kwargs):
+                 dataset: str = "chairs", **dataset_kwargs):
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.size = size
-        self.train_dataset = FlyingChairs2Dataset(
-            split=Split.TRAIN, sample=sample, **dataset_kwargs)
-        self.val_dataset = FlyingChairs2Dataset(
+        if dataset == "chairs":
+            cls = FlyingChairs2Dataset
+        elif dataset == "things":
+            from ..alodataset.flying_things import FlyingThings3DSubsetDataset
+            cls = FlyingThings3DSubsetDataset
+        elif dataset == "sdhom":
+            from ..alodataset.flying_things import ChairsSDHomDataset
+            cls = ChairsSDHomDataset
+        elif dataset == "sintel":
+            from ..alodataset import SintelFlowDataset
+            cls = SintelFlowDataset
+        else:
+            raise ValueError(f"dataset must be one of {self.DATASETS}")
+        self.train_dataset = cls(split=Split.TRAIN, sample=sample,
+                                 **dataset_kwargs)
+        self.val_dataset = cls(
             split=Split.VAL if not sample else Split.TRAIN, sample=sample,
             **dataset_kwargs)
 

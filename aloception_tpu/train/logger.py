@@ -49,6 +49,22 @@ class TensorBoardLogger(NoOpLogger):
     def log_hist(self, name: str, values: np.ndarray, step: int):
         self.writer.add_histogram(name, np.asarray(values), step)
 
+    def log_figure(self, name: str, figure, step: int):
+        """matplotlib figure (logger.py:135 log_figure)."""
+        self.writer.add_figure(name, figure, step)
+
+    def log_scatter(self, name: str, xs, ys, step: int, xlabel="x", ylabel="y"):
+        """(logger.py:155 log_scatter) rendered through matplotlib."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        ax.scatter(np.asarray(xs), np.asarray(ys), s=4)
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(ylabel)
+        self.writer.add_figure(name, fig, step)
+        plt.close(fig)
+
     def flush(self):
         self.writer.flush()
 
