@@ -97,7 +97,9 @@ class Disparity(SpatialAugmentedArray):
         if focal_length is None:
             if intrinsic is None:
                 raise ValueError("camera intrinsic or focal_length required")
-            focal_length = float(np.asarray(intrinsic.as_numpy()).reshape(-1, 3, 3)[0][0, 0])
+            K = np.asarray(intrinsic.as_numpy())
+            K = K.reshape(-1, K.shape[-2], K.shape[-1])[0]
+            focal_length = float(K[0, 0])
         disp = np.abs(self.as_numpy())
         depth = np.where(disp > 0, baseline * focal_length / np.maximum(disp, 1e-9), np.inf)
         out = Depth(depth.astype(np.float32), names=self._names)

@@ -1,0 +1,73 @@
+"""Trainer harness: fit/validate/checkpoint/resume on a tiny model
+(the run_pl_training contract, pl_helpers.py:295)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aloception_tpu.models.detr import Detr
+from aloception_tpu.train import (CocoDetection2Detr, make_detr_trainer,
+                                  MetricsCallback, CheckpointManager)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    dm = CocoDetection2Detr(sample=True, size=(64, 96), batch_size=4)
+    model = Detr(num_classes=len(dm.label_names), hidden_dim=32,
+                 num_queries=8, nheads=4, num_encoder_layers=1,
+                 num_decoder_layers=1, dim_feedforward=32,
+                 stage_sizes=(1, 1, 1, 1))
+    log_dir = str(tmp_path_factory.mktemp("expe"))
+    return dm, model, log_dir
+
+
+def test_fit_and_checkpoint(tiny_setup):
+    dm, model, log_dir = tiny_setup
+    trainer = make_detr_trainer(
+        model=model, data_module=dm, log_dir=log_dir,
+        callbacks=[MetricsCallback()], limit_train_batches=1,
+        limit_val_batches=1, accumulate_grad_batches=1)
+    trainer.fit(dm.train_dataloader(), dm.val_dataloader(), max_epochs=1)
+    assert trainer.global_step == 1
+    assert "val_loss_total" in trainer.last_val_metrics
+    assert trainer.ckpt.last_step() == 1
+    # registry carries the monitored metric
+    assert trainer.ckpt._registry["1"]["val_loss_total"] == pytest.approx(
+        trainer.last_val_metrics["val_loss_total"], rel=1e-5)
+
+
+def test_resume_continues(tiny_setup):
+    dm, model, log_dir = tiny_setup
+    t1 = make_detr_trainer(
+        model=model, data_module=dm, log_dir=log_dir, expe_name="resume",
+        run_id="fixed", callbacks=[MetricsCallback()],
+        limit_train_batches=1, limit_val_batches=1,
+        accumulate_grad_batches=1)
+    t1.fit(dm.train_dataloader(), dm.val_dataloader(), max_epochs=1)
+    t2 = make_detr_trainer(
+        model=model, data_module=dm, log_dir=log_dir, expe_name="resume",
+        run_id="fixed", callbacks=[MetricsCallback()],
+        limit_train_batches=1, limit_val_batches=1,
+        accumulate_grad_batches=1)
+    t2.fit(dm.train_dataloader(), dm.val_dataloader(), max_epochs=1,
+           resume=True)
+    assert t2.ckpt.last_step() == 2  # continued past step 1
+
+
+def test_checkpoint_best_pruning(tmp_path):
+    cm = CheckpointManager(str(tmp_path), monitor="val_loss", mode="min",
+                           save_top_k=1, save_last=True)
+    state = {"w": jnp.ones((4,))}
+    cm.save(1, state, {"val_loss": 3.0})
+    cm.save(2, state, {"val_loss": 1.0})   # best
+    cm.save(3, state, {"val_loss": 2.0})   # last
+    assert cm.best_step() == 2
+    assert cm.last_step() == 3
+    kept = {int(s) for s in cm._registry}
+    assert kept == {2, 3}  # step 1 pruned
+    restored = cm.restore({"w": jnp.zeros((4,))}, best=True)
+    assert np.allclose(restored["w"], 1.0)
