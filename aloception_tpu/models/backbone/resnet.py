@@ -73,15 +73,50 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+def space_to_depth(x, factor: int = 2):
+    """(B, H, W, C) -> (B, H/f, W/f, C*f*f), parity-major channel order."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // factor, factor, W // factor, factor, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        B, H // factor, W // factor, factor * factor * C)
+
+
+def conv1_to_s2d_kernel(w7: "jnp.ndarray") -> "jnp.ndarray":
+    """Exact rewrite of the 7x7/stride-2 stem kernel into the
+    space-to-depth(2) + 4x4/stride-1 form: w4[a, b, (p, q, c), o] =
+    w8[2a+p, 2b+q, c, o] with w8 = w7 zero-padded at offset (1, 1).
+    (The MLPerf-ResNet trick: the 3-input-channel 7x7 conv uses 3/128 MXU
+    lanes; after s2d it uses 12/128 and 4x fewer positions.)"""
+    w8 = jnp.zeros((8, 8) + w7.shape[2:], w7.dtype).at[1:8, 1:8].set(w7)
+    C, O = w7.shape[2], w7.shape[3]
+    w4 = jnp.zeros((4, 4, 4 * C, O), w7.dtype)
+    for p in range(2):
+        for q in range(2):
+            # channel block layout matches space_to_depth: (p, q, c)
+            w4 = w4.at[:, :, (p * 2 + q) * C:(p * 2 + q + 1) * C, :].set(
+                w8[p::2, q::2][:4, :4])
+    return w4
+
+
 class ResNet(nn.Module):
-    """ResNet-50/101 trunk returning {layer1..layer4} NHWC feature maps."""
+    """ResNet-50/101 trunk returning {layer1..layer4} NHWC feature maps.
+
+    space_to_depth=True rewrites the 7x7/2 stem as s2d(2) + 4x4/1 conv —
+    numerically identical given converted weights (conv1_to_s2d_kernel) and
+    ~4x faster on the MXU (3 -> 12 input lanes, 1/4 the positions)."""
     stage_sizes: Sequence[int] = (3, 4, 6, 3)  # resnet50
+    space_to_depth: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        if self.space_to_depth:
+            x = space_to_depth(x, 2)
+            x = nn.Conv(64, (4, 4), strides=(1, 1), padding=((2, 1), (2, 1)),
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -107,6 +142,7 @@ class Backbone(nn.Module):
     padding mask max-pooled (any-padded) to each feature resolution."""
     return_layers: Sequence[str] = ("layer4",)
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    space_to_depth: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -114,6 +150,7 @@ class Backbone(nn.Module):
         """images: (B, H, W, 3). mask: (B, H, W) bool/float, 1 = padded
         (the batch_list padded-area mask)."""
         feats = ResNet(stage_sizes=self.stage_sizes, dtype=self.dtype,
+                       space_to_depth=self.space_to_depth,
                        name="trunk")(images)
         if mask is None:
             mask = jnp.zeros(images.shape[:3], dtype=jnp.float32)

@@ -39,6 +39,7 @@ class DeformableDETR(nn.Module):
     aux_loss: bool = True
     return_intermediate: bool = False
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    space_to_depth: bool = True
     dtype: Any = jnp.float32
 
     @property
@@ -53,6 +54,7 @@ class DeformableDETR(nn.Module):
         layers = ("layer1", "layer2", "layer3", "layer4") \
             if self.return_intermediate else ("layer2", "layer3", "layer4")
         feats = Backbone(return_layers=layers, stage_sizes=self.stage_sizes,
+                         space_to_depth=self.space_to_depth,
                          dtype=self.dtype, name="backbone")(images, mask)
         ms_feats = feats[-3:]  # C3, C4, C5
 

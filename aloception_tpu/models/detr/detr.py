@@ -38,6 +38,7 @@ class Detr(nn.Module):
     aux_loss: bool = True
     return_intermediate: bool = False  # expose memory/backbone feats (panoptic)
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    space_to_depth: bool = True  # s2d stem: ~4x faster conv1 on MXU
     dtype: Any = jnp.float32
 
     @property
@@ -53,6 +54,7 @@ class Detr(nn.Module):
         layers = ("layer1", "layer2", "layer3", "layer4") \
             if self.return_intermediate else ("layer4",)
         feats = Backbone(return_layers=layers, stage_sizes=self.stage_sizes,
+                         space_to_depth=self.space_to_depth,
                          dtype=self.dtype, name="backbone")(images, mask)
         src, feat_mask = feats[-1]
         B, H, W, _ = src.shape

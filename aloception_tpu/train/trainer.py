@@ -149,6 +149,9 @@ class Trainer:
                 with self.mesh:
                     self.state, metrics = self._train_step(self.state, batch)
                 self.global_step += 1
+                # ONE host transfer for all metrics; per-metric float() in
+                # callbacks would round-trip the tunnel dozens of times/step
+                metrics = jax.device_get(metrics)
                 for cb in self.callbacks:
                     cb.on_train_batch_end(self, metrics, self.global_step)
                 if max_steps and self.global_step >= max_steps:
@@ -180,9 +183,9 @@ class Trainer:
             batch = self._device_batch(prepared)
             with self.mesh:
                 outputs, metrics = self._eval_step(self.state.params, batch)
+            outputs, metrics = jax.device_get((outputs, metrics))
             for cb in self.callbacks:
-                cb.on_val_batch_end(self, jax.device_get(outputs),
-                                    prepared, metrics)
+                cb.on_val_batch_end(self, outputs, prepared, metrics)
         for cb in self.callbacks:
             cb.on_val_epoch_end(self, self.global_step)
         return self.last_val_metrics

@@ -72,10 +72,11 @@ def convert_linear(w: np.ndarray) -> np.ndarray:
 
 
 def convert_resnet50_backbone(sd: Dict[str, np.ndarray],
-                              prefix: str = "backbone.0.body."
-                              ) -> Dict[str, Any]:
+                              prefix: str = "backbone.0.body.",
+                              space_to_depth: bool = False) -> Dict[str, Any]:
     """torchvision ResNet-50 state dict -> this framework's Backbone params
-    (models/backbone/resnet.py naming: trunk/conv1, layer{i}_block{j}/...)."""
+    (models/backbone/resnet.py naming: trunk/conv1, layer{i}_block{j}/...).
+    space_to_depth=True remaps the stem kernel for the s2d stem (exact)."""
     p: Dict[str, Any] = {}
 
     def bn(src):
@@ -83,8 +84,12 @@ def convert_resnet50_backbone(sd: Dict[str, np.ndarray],
                 "mean": sd[src + ".running_mean"],
                 "var": sd[src + ".running_var"]}
 
+    conv1 = convert_conv(sd[prefix + "conv1.weight"])
+    if space_to_depth:
+        from ..models.backbone.resnet import conv1_to_s2d_kernel
+        conv1 = np.asarray(conv1_to_s2d_kernel(conv1))
     trunk: Dict[str, Any] = {
-        "conv1": {"kernel": convert_conv(sd[prefix + "conv1.weight"])},
+        "conv1": {"kernel": conv1},
         "bn1": bn(prefix + "bn1"),
     }
     stage_sizes = (3, 4, 6, 3)
@@ -131,13 +136,15 @@ def convert_mha(sd: Dict[str, np.ndarray], src: str, d_model: int,
 
 def convert_detr_checkpoint(sd: Dict[str, np.ndarray], d_model: int = 256,
                             nheads: int = 8, num_enc: int = 6,
-                            num_dec: int = 6) -> Dict[str, Any]:
+                            num_dec: int = 6,
+                            space_to_depth: bool = True) -> Dict[str, Any]:
     """Full DETR .pth -> models/detr/Detr flax params (cited naming from
     detr/transformer.py + detr/detr.py). NOTE: attention q/k in the
     reference include positional terms at call time, not in weights, so the
     mapping is 1:1."""
     params: Dict[str, Any] = {}
-    params["backbone"] = convert_resnet50_backbone(sd)
+    params["backbone"] = convert_resnet50_backbone(
+        sd, space_to_depth=space_to_depth)
     params["input_proj"] = {
         "kernel": convert_conv(sd["input_proj.weight"]),
         "bias": sd["input_proj.bias"]}

@@ -23,6 +23,7 @@ TRT_A100_IMG_S = 96.0
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--backend", default=None, help="force jax platform (cpu)")
+    p.add_argument("--model", default="detr", choices=["detr", "raft"])
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--size", type=int, default=640)
     p.add_argument("--iters", type=int, default=16)
@@ -34,6 +35,9 @@ def main():
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
     import jax.numpy as jnp
+
+    if args.model == "raft":
+        return bench_raft(args)
     from aloception_tpu.models.detr import Detr, detr_r50
 
     if args.tiny:
@@ -94,6 +98,52 @@ def main():
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / TRT_A100_IMG_S, 3),
+    }))
+
+
+def bench_raft(args):
+    """RAFT frame-pairs/sec (BASELINE.md: RAFT frame-pairs/sec target).
+    Sintel-sized inputs (440x1024 padded /8), 12 iterations."""
+    import jax
+    import jax.numpy as jnp
+    from aloception_tpu.models.raft import RAFT
+
+    model = RAFT(dtype=jnp.bfloat16) if not args.tiny else RAFT(
+        hidden_dim=32, context_dim=32, corr_levels=2, corr_radius=2)
+    B = min(args.batch, 2)
+    H, W = (440, 1024) if not args.tiny else (96, 128)
+    iters = 12 if not args.tiny else 2
+    rng = np.random.RandomState(0)
+    f1 = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
+    f2 = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), f1[:1], f2[:1], iters=1)
+
+    @jax.jit
+    def chained(f1, f2):
+        flow = model.apply(params, f1, f2, iters=iters, only_last=True)
+        f1 = f1 + (jnp.sum(flow.astype(jnp.float32)) * 1e-9).astype(f1.dtype)
+        return flow, f1
+
+    def fetch(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    flow, f1 = chained(f1, f2)
+    fetch(flow)
+    for _ in range(args.warmup):
+        flow, f1 = chained(f1, f2)
+    fetch(flow)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        flow, f1 = chained(f1, f2)
+    fetch(flow)
+    fetch(f1[0, 0, 0])
+    dt = time.perf_counter() - t0
+    pairs_s = B * args.iters / dt
+    print(json.dumps({
+        "metric": f"raft_flow_pairs_per_sec_bs{B}_{H}x{W}_it{iters}",
+        "value": round(pairs_s, 2),
+        "unit": "frame-pairs/sec/chip",
+        "vs_baseline": None,
     }))
 
 
