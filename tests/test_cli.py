@@ -1,0 +1,32 @@
+"""CLI integration tests (mirrors reference unittest/test_train.py: run the
+real training mains with fast_dev_run + samples)."""
+
+import numpy as np
+import pytest
+
+
+def test_train_on_coco_fast_dev_run(capsys):
+    from aloception_tpu.commands import train_on_coco
+    train_on_coco.main(["--cpu", "--sample", "--tiny", "--fast_dev_run",
+                        "--size", "64", "96", "--batch_size", "4"])
+    out = capsys.readouterr().out
+    assert "[train_on_coco] done: step=" in out
+
+
+def test_eval_on_coco(capsys):
+    from aloception_tpu.commands import eval_on_coco
+    eval_on_coco.main(["--cpu", "--sample", "--tiny", "--limit_batches", "1",
+                       "--size", "64", "96"])
+    out = capsys.readouterr().out
+    assert "[eval_on_coco] AP=" in out
+
+
+def test_export_model_cli(tmp_path, capsys):
+    import os
+    from aloception_tpu.commands import export_model
+    out_path = str(tmp_path / "m.hlo")
+    export_model.main(["--cpu", "--model", "detr", "--tiny", "--out", out_path,
+                       "--size", "64", "96"])
+    assert os.path.exists(out_path)
+    out = capsys.readouterr().out
+    assert "[export] wrote" in out
