@@ -26,9 +26,14 @@ class BoundingBoxes3D(AugmentedArray):
         super().__init__(x, names=names, **kwargs)
         assert self.shape[-1] == 7, "boxes3d are [xc, yc, zc, Dx, Dy, Dz, heading]"
         self.add_child("labels", labels, align_dim=["N"], mergeable=True)
+        self.add_child("cam_intrinsic", None, align_dim=["B", "T"],
+                       mergeable=True)
 
     def append_labels(self, labels: Labels, name: Optional[str] = None):
         self._append_child("labels", labels, name)
+
+    def append_cam_intrinsic(self, cam_intrinsic, name: Optional[str] = None):
+        self._append_child("cam_intrinsic", cam_intrinsic, name)
 
     # ------------------------------------------------------------------
     def get_vertices_3d(self) -> np.ndarray:
@@ -99,6 +104,41 @@ class BoundingBoxes3D(AugmentedArray):
         giou, _ = riou.pairwise(riou.cal_giou_3d, jnp.asarray(b1),
                                 jnp.asarray(b2))
         return np.asarray(giou)
+
+    _EDGES = ((0, 1), (1, 3), (3, 2), (2, 0),      # front face
+              (4, 5), (5, 7), (7, 6), (6, 4),      # back face
+              (0, 4), (1, 5), (2, 6), (3, 7))      # connectors
+
+    def __get_view__(self, frame=None, cam_intrinsic=None, frame_size=None,
+                     title=None, **kwargs):
+        """Wireframe 3D boxes projected onto the frame
+        (reference: aloscene/renderer/bbox3d.py:8 + bounding_boxes_3d.py:472)."""
+        from .renderer import View
+        import cv2
+        intrinsic = cam_intrinsic if cam_intrinsic is not None \
+            else self.get_child("cam_intrinsic")
+        if intrinsic is None or isinstance(intrinsic, dict):
+            return None
+        if frame is None:
+            fs = frame_size or (300, 300)
+            frame = np.zeros((int(fs[0]), int(fs[1]), 3), np.float32)
+        img = (np.clip(np.ascontiguousarray(frame), 0, 1) * 255).astype(np.uint8)
+        proj = self.get_vertices_3d_proj(intrinsic)
+        rngc = np.random.RandomState(11).uniform(0, 255, (300, 3))
+        labels = self.get_child("labels")
+        lab = np.asarray(labels.as_numpy()).astype(int) \
+            if labels is not None and not isinstance(labels, dict) else None
+        for n in range(proj.shape[0]):
+            color = tuple(int(c) for c in
+                          rngc[(lab[n] if lab is not None else n) % 300])
+            for a, b in self._EDGES:
+                pa = tuple(int(v) for v in proj[n, a])
+                pb = tuple(int(v) for v in proj[n, b])
+                cv2.line(img, pa, pb, color, 2)
+        return View(img.astype(np.float32) / 255.0, title=title)
+
+    def get_view(self, frame=None, **kwargs):
+        return self.__get_view__(frame=frame, **kwargs)
 
     def _hflip(self, cam_extrinsic=None, **kw):
         """Mirror across the camera x axis (bounding_boxes_3d.py:219)."""

@@ -340,7 +340,9 @@ class SpatialAugmentedArray(AugmentedArray):
                 if fn is None:
                     return c
                 try:
-                    v = fn(frame=frame_img, frame_size=self.HW)
+                    ci = self._children.get("cam_intrinsic")
+                    v = fn(frame=frame_img, frame_size=self.HW,
+                           cam_intrinsic=ci if not isinstance(ci, dict) else None)
                     if v is not None:
                         frame_img = v.image
                 except TypeError:
