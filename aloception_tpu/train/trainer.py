@@ -68,10 +68,20 @@ class Trainer:
         self.last_val_metrics: Dict[str, float] = {}
         self._train_step = None
         self._eval_step = None
+        self._metric_keys = None
 
     # ------------------------------------------------------------------
     def _build_steps(self):
         model, criterion = self.model, self.criterion
+
+        def pack(metrics):
+            # ONE device array for all scalar metrics: device_get on a dict
+            # of scalars costs one tunnel round-trip PER LEAF on this backend.
+            # Keys are captured at trace time (strings can't leave jit).
+            keys = sorted(metrics)
+            self._metric_keys = keys
+            return jnp.stack([metrics[k].astype(jnp.float32).reshape(())
+                              for k in keys])
 
         def train_step(state, batch):
             rng = jax.random.fold_in(state.dropout_rng, state.step)
@@ -85,14 +95,15 @@ class Trainer:
 
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-            return state.apply_gradients(grads=grads), metrics
+            return state.apply_gradients(grads=grads), pack(metrics)
 
         def eval_step(params, batch):
             out = model.apply(params, *batch["inputs"], deterministic=True)
             loss, metrics = criterion(out, batch["targets"])
-            return out, metrics
+            return out, pack(metrics)
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._train_step = jax.jit(train_step, donate_argnums=(0,),
+                                   static_argnums=())
         self._eval_step = jax.jit(eval_step)
 
     def _init_state(self, batch):
@@ -149,9 +160,8 @@ class Trainer:
                 with self.mesh:
                     self.state, metrics = self._train_step(self.state, batch)
                 self.global_step += 1
-                # ONE host transfer for all metrics; per-metric float() in
-                # callbacks would round-trip the tunnel dozens of times/step
-                metrics = jax.device_get(metrics)
+                vals = np.asarray(metrics)  # single transfer
+                metrics = dict(zip(self._metric_keys, vals.tolist()))
                 for cb in self.callbacks:
                     cb.on_train_batch_end(self, metrics, self.global_step)
                 if max_steps and self.global_step >= max_steps:
@@ -183,7 +193,9 @@ class Trainer:
             batch = self._device_batch(prepared)
             with self.mesh:
                 outputs, metrics = self._eval_step(self.state.params, batch)
-            outputs, metrics = jax.device_get((outputs, metrics))
+            metrics = dict(zip(self._metric_keys,
+                               np.asarray(metrics).tolist()))
+            outputs = jax.device_get(outputs)
             for cb in self.callbacks:
                 cb.on_val_batch_end(self, outputs, prepared, metrics)
         for cb in self.callbacks:
