@@ -388,3 +388,30 @@ KittiDepthDataset = KittiDepth
 KittiObjectDataset = KittiObject
 KittiTrackingDataset = KittiTracking
 KittiOdometryDataset = KittiOdometry
+
+
+class KittiSplit(KittiDepth):
+    """Train/val split over the prepared KITTI depth drives with a validity
+    mask on the depth (kitti_split_dataset.py:9): depth==0 pixels (no lidar
+    return) get a valid_mask child so losses can ignore them."""
+
+    SPLIT_FOLDERS = {Split.VAL: "val", Split.TRAIN: "train"}
+
+    def __init__(self, split: Split = Split.TRAIN, add_depth_mask: bool = True,
+                 name: str = "kitti", **kwargs):
+        self.add_depth_mask = add_depth_mask
+        super().__init__(name=name, split=split,
+                         subset=self.SPLIT_FOLDERS[split], **kwargs)
+
+    def getitem(self, idx: int):
+        frame = super().getitem(idx)
+        depth = frame.get_child("depth")
+        if self.add_depth_mask and depth is not None \
+                and not isinstance(depth, dict):
+            valid = (np.asarray(depth.as_numpy()) != 0).astype(np.float32)
+            depth.add_child("valid_mask", Mask(valid, names=depth.names),
+                            align_dim=["B", "T"], mergeable=True)
+        return frame
+
+
+KittiSplitDataset = KittiSplit

@@ -89,3 +89,20 @@ class WooDScapeDataset(BaseDataset):
                     frame.append_segmentation(Mask(
                         masks, labels=Labels(np.asarray(ids, np.float32))))
         return frame
+
+
+class WooDScapeSplitDataset(WooDScapeDataset):
+    """Deterministic train/val split by fragment of the sorted file list
+    (woodScape_split_dataset.py:4): train = first 90%, val = last 10%."""
+
+    SPLIT_FRAGMENTS = {Split.TRAIN: 0.9, Split.VAL: -0.1}
+
+    def __init__(self, split: Split = Split.TRAIN, **kwargs):
+        self.split = split
+        frag = self.SPLIT_FRAGMENTS[split]
+        super().__init__(fragment=abs(frag), **kwargs)
+        if not self.sample and frag < 0:
+            # negative fragment = take from the END of the list
+            all_items = sorted(set(self.items))
+            k = max(int(len(all_items) / 0.9 * 0.1), 1) if all_items else 0
+            self.items = all_items[-k:]
