@@ -87,3 +87,66 @@ def corr_lookup(pyramid: List[jnp.ndarray], coords, radius: int = 4):
             + corner(y0 + 1, x0 + 1, wy * wx)        # (B, N, d*d)
         outs.append(sampled.reshape(B, H, W, d * d))
     return jnp.concatenate(outs, axis=-1)
+
+
+def corr_lookup_rows(pyramid: List[jnp.ndarray], coords, radius: int = 4):
+    """Two-stage-gather variant of corr_lookup: per level, gather the
+    (2r+2) CONTIGUOUS volume rows covering the window (one row gather of
+    width W_l), then pick the window columns from those rows.
+    Numerically identical to corr_lookup (parity 1e-6).
+
+    Measured on TPU v5e (368x496 scale, r=4, 4 levels): 129 ms vs 101 ms for
+    the 4-corner variant — the extra row bytes outweigh the contiguity win,
+    so corr_lookup stays the default. Both are gather-bound: XLA's TPU
+    gather reaches only ~0.3 GB/s effective here, making the lookup RAFT's
+    dominant cost (~1.2 s of 1.9 s/pair at 12 iters) — the standing
+    optimization target.
+    """
+    B, N, H, W = pyramid[0].shape
+    r = radius
+    d = 2 * r + 1
+    dy = jnp.arange(-r, r + 2, dtype=jnp.float32)     # d+1 rows (for y1 corner)
+    dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
+
+    outs = []
+    for lvl, c in enumerate(pyramid):
+        Hl, Wl = c.shape[2], c.shape[3]
+        cl = c.reshape(B, N, Hl * Wl)
+        centroid = coords.reshape(B, N, 2) / (2 ** lvl)
+        x0f = jnp.floor(centroid[..., 0:1] + dx[None, None])   # (B, N, d)
+        y0f = jnp.floor(centroid[..., 1:2] - r)                # (B, N, 1) base row
+        wy = (centroid[..., 1:2] - r) - y0f                    # frac, same all rows
+
+        # stage 1: gather d+1 full rows (contiguous Wl columns each)
+        rows_y = y0f + jnp.arange(0, d + 1, dtype=jnp.float32)[None, None]
+        rows_valid = (rows_y >= 0) & (rows_y < Hl)             # (B, N, d+1)
+        rows_i = jnp.clip(rows_y, 0, Hl - 1).astype(jnp.int32)
+        flat_start = rows_i * Wl                               # (B, N, d+1)
+        col_ids = jnp.arange(Wl, dtype=jnp.int32)
+        row_idx = (flat_start[..., None] + col_ids).reshape(B, N, -1)
+        rows = jnp.take_along_axis(cl, row_idx, axis=2)
+        rows = rows.reshape(B, N, d + 1, Wl)
+        rows = rows * rows_valid[..., None]
+
+        # stage 2: bilinear in y between consecutive rows, then x columns
+        top = rows[:, :, :d]
+        bot = rows[:, :, 1:]
+        wyc = wy[..., None]
+        rows_y_interp = top * (1 - wyc) + bot * wyc            # (B, N, d, Wl)
+
+        wx = (centroid[..., 0:1] + dx[None, None]) - x0f       # (B, N, d)
+        x0 = x0f
+        xv0 = (x0 >= 0) & (x0 < Wl)
+        xv1 = (x0 + 1 >= 0) & (x0 + 1 < Wl)
+        x0i = jnp.clip(x0, 0, Wl - 1).astype(jnp.int32)
+        x1i = jnp.clip(x0 + 1, 0, Wl - 1).astype(jnp.int32)
+        # pick columns: (B, N, d, d) from (B, N, d, Wl)
+        g0 = jnp.take_along_axis(
+            rows_y_interp, jnp.broadcast_to(x0i[:, :, None, :], (B, N, d, d)),
+            axis=3) * xv0[:, :, None, :]
+        g1 = jnp.take_along_axis(
+            rows_y_interp, jnp.broadcast_to(x1i[:, :, None, :], (B, N, d, d)),
+            axis=3) * xv1[:, :, None, :]
+        sampled = g0 * (1 - wx)[:, :, None, :] + g1 * wx[:, :, None, :]
+        outs.append(sampled.reshape(B, H, W, d * d))
+    return jnp.concatenate(outs, axis=-1)
