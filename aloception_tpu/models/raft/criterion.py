@@ -23,11 +23,17 @@ def raft_sequence_loss(flow_preds: List, flow_gt, valid=None,
         v = v * valid.astype(jnp.float32)
     denom = jnp.maximum(v.sum(), 1.0)
 
+    # Loss normalization matches the reference exactly: mean over ALL
+    # elements (B,H,W,2) with invalid pixels zeroed (criterion.py:29
+    # `(valid * i_loss).mean()`), NOT mean over valid pixels — on sparse-GT
+    # data (KITTI) the two differ severalfold and reference-tuned LRs assume
+    # the former. EPE metrics below average over valid pixels only, as the
+    # reference does (criterion.py:40-41).
     loss = 0.0
     for i, pred in enumerate(flow_preds):
         w = gamma ** (n - i - 1)
-        l1 = jnp.abs(pred - flow_gt).sum(-1)
-        loss = loss + w * (l1 * v).sum() / denom
+        l1 = jnp.abs(pred - flow_gt) * v[..., None]
+        loss = loss + w * l1.mean()
 
     epe_map = jnp.sqrt(((flow_preds[-1] - flow_gt) ** 2).sum(-1))
     epe = (epe_map * v).sum() / denom

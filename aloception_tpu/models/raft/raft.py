@@ -25,10 +25,22 @@ from .update import BasicUpdateBlock, SmallUpdateBlock
 
 
 def upflow8(flow):
-    """Bilinear 8x upsampling, values scaled (raft_small path)."""
+    """Bilinear 8x upsampling with align_corners=True semantics
+    (raft/utils/utils.py:28 upflow8 uses F.interpolate(align_corners=True)),
+    values scaled; raft_small path."""
     B, H, W, C = flow.shape
-    up = jax.image.resize(flow, (B, H * 8, W * 8, C), method="bilinear")
-    return up * 8.0
+    Ho, Wo = H * 8, W * 8
+    # align_corners=True: output endpoints map to input endpoints
+    ys = jnp.linspace(0.0, H - 1.0, Ho)
+    xs = jnp.linspace(0.0, W - 1.0, Wo)
+    y0 = jnp.clip(jnp.floor(ys), 0, H - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs), 0, W - 2).astype(jnp.int32)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    f = flow
+    top = f[:, y0][:, :, x0] * (1 - wx) + f[:, y0][:, :, x0 + 1] * wx
+    bot = f[:, y0 + 1][:, :, x0] * (1 - wx) + f[:, y0 + 1][:, :, x0 + 1] * wx
+    return (top * (1 - wy) + bot * wy) * 8.0
 
 
 def convex_upsample(flow, mask):
@@ -37,14 +49,17 @@ def convex_upsample(flow, mask):
     flow: (B, H, W, 2); mask: (B, H, W, 64*9) -> (B, 8H, 8W, 2).
     """
     B, H, W, _ = flow.shape
-    m = mask.reshape(B, H, W, 8, 8, 9)
-    m = jax.nn.softmax(m, axis=-1)
-    # 3x3 neighborhood of the coarse flow around each pixel
+    # channel layout follows the torch mask head: view(N, 1, 9, 8, 8, H, W)
+    # (raft.py:113) — tap index k OUTER, then (u, v) subpixel; keeping this
+    # order makes converted torch weights bit-compatible.
+    m = mask.reshape(B, H, W, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=-3)
+    # 3x3 neighborhood of the coarse flow around each pixel (F.unfold pad=1)
     fp = jnp.pad(flow * 8.0, ((0, 0), (1, 1), (1, 1), (0, 0)))
     taps = jnp.stack([fp[:, dy:dy + H, dx:dx + W, :]
                       for dy in range(3) for dx in range(3)], axis=-2)
     # taps: (B, H, W, 9, 2)
-    up = jnp.einsum("bhwuvk,bhwkc->bhwuvc", m, taps)
+    up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", m, taps)
     return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * H, 8 * W, 2)
 
 
@@ -68,14 +83,17 @@ class RAFTBase(nn.Module):
         Enc = SmallEncoder if self.small else BasicEncoder
         fdim = 128 if self.small else 256
 
-        fnet = Enc(output_dim=fdim, norm_fn="instance", dtype=self.dtype,
-                   name="fnet")
+        train = not deterministic
+        fnet = Enc(output_dim=fdim, norm_fn="instance", train=train,
+                   dtype=self.dtype, name="fnet")
         # shared feature encoder on both frames (raft.py:164)
         fmap1 = fnet(frame1).astype(jnp.float32)
         fmap2 = fnet(frame2).astype(jnp.float32)
 
-        cnet = Enc(output_dim=hdim + cdim, norm_fn="group", dtype=self.dtype,
-                   name="cnet")
+        # cnet uses real BatchNorm like the reference (raft.py:87
+        # build_cnet norm_fn="batch"); training needs mutable=["batch_stats"]
+        cnet = Enc(output_dim=hdim + cdim, norm_fn="batch", train=train,
+                   dtype=self.dtype, name="cnet")
         c = cnet(frame1)
         net = jnp.tanh(c[..., :hdim]).astype(jnp.float32)
         inp = nn.relu(c[..., hdim:]).astype(jnp.float32)
@@ -89,18 +107,18 @@ class RAFTBase(nn.Module):
 
         corr_ch = self.corr_levels * (2 * self.corr_radius + 1) ** 2
         Update = SmallUpdateBlock if self.small else BasicUpdateBlock
-        update_block = Update(corr_channels=corr_ch, hidden_dim=hdim,
-                              dtype=self.dtype, name="update_block")
 
-        def body(carry, _):
+        def body(mdl, carry, _):
             net, coords1 = carry
             coords1 = jax.lax.stop_gradient(coords1)  # detach (raft.py:184)
             # block-gather lookup: 1.76x faster than element gathers on TPU
             corr = corr_lookup_block(pyramid, coords1,
                                      radius=self.corr_radius)
             flow = coords1 - coords0
-            net, mask, delta = update_block(net, inp, corr.astype(self.dtype),
-                                            flow.astype(self.dtype))
+            net, mask, delta = Update(
+                corr_channels=corr_ch, hidden_dim=hdim, dtype=self.dtype,
+                name="update_block")(net, inp, corr.astype(self.dtype),
+                                     flow.astype(self.dtype))
             coords1 = coords1 + delta.astype(jnp.float32)
             if mask is None:
                 flow_up = upflow8(coords1 - coords0)
@@ -109,18 +127,20 @@ class RAFTBase(nn.Module):
                                           mask.astype(jnp.float32))
             return (net, coords1), flow_up
 
-        # update_block params are shared across iterations (same bound module),
-        # so a python unroll matches the reference's weight tying; XLA fuses
-        # the repeated body. (nn.scan is the rolled alternative if compile
-        # time at iters>24 ever matters.)
-        flows = []
-        carry = (net, coords1)
-        for _ in range(iters):
-            carry, flow_up = body(carry, None)
-            flows.append(flow_up)
+        # The 12-iteration refinement is an nn.scan: ONE compiled body with
+        # broadcast (weight-tied) update_block params instead of 12 inlined
+        # copies — full-model compile dropped 262s -> ~90s on the tunneled
+        # TPU with no runtime change. The lifted-function form keeps the
+        # param path at "update_block/..." so torch checkpoint conversion is
+        # layout-identical to the unrolled form.
+        (net, coords1), flows = nn.scan(
+            body, variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            length=iters)(self, (net, coords1), None)
         if only_last:
             return flows[-1]
-        return flows
+        # unstack to the reference's list-of-predictions interface
+        return [flows[i] for i in range(iters)]
 
 
 class RAFT(RAFTBase):

@@ -49,6 +49,12 @@ def corr_lookup(pyramid: List[jnp.ndarray], coords, radius: int = 4):
     coords: (B, H, W, 2) current (x, y) positions at level 0.
     Returns (B, H, W, num_levels * (2r+1)^2).
 
+    Window channel order follows the reference exactly: channel k = i*d + j
+    samples (x + off[i], y + off[j]) — the X offset varies on the OUTER axis
+    (corr.py:37-41 builds delta with meshgrid(dy, dx) and then feeds
+    component 0 to the sampler's x grid; an upstream-RAFT quirk that
+    converted convc1 weights depend on).
+
     TPU formulation: per level all (window, corner) samples collapse into one
     row gather over the flattened Hl*Wl axis (take_along_axis per query row)
     — no per-pixel vmap gathers.
@@ -56,9 +62,9 @@ def corr_lookup(pyramid: List[jnp.ndarray], coords, radius: int = 4):
     B, N, H, W = pyramid[0].shape
     r = radius
     d = 2 * r + 1
-    dy, dx = jnp.meshgrid(jnp.arange(-r, r + 1, dtype=jnp.float32),
+    dx, dy = jnp.meshgrid(jnp.arange(-r, r + 1, dtype=jnp.float32),
                           jnp.arange(-r, r + 1, dtype=jnp.float32),
-                          indexing="ij")
+                          indexing="ij")  # x offset on the OUTER axis
     dx = dx.reshape(-1)   # (d*d,)
     dy = dy.reshape(-1)
 
@@ -148,6 +154,8 @@ def corr_lookup_rows(pyramid: List[jnp.ndarray], coords, radius: int = 4):
             rows_y_interp, jnp.broadcast_to(x1i[:, :, None, :], (B, N, d, d)),
             axis=3) * xv1[:, :, None, :]
         sampled = g0 * (1 - wx)[:, :, None, :] + g1 * wx[:, :, None, :]
+        # (B, N, d_y, d_x) -> x-outer channel order (reference quirk)
+        sampled = jnp.swapaxes(sampled, -1, -2)
         outs.append(sampled.reshape(B, H, W, d * d))
     return jnp.concatenate(outs, axis=-1)
 
@@ -177,7 +185,9 @@ def corr_lookup_block(pyramid: List[jnp.ndarray], coords, radius: int = 4):
             # (cheap at these sizes)
             cl = c.reshape(B, N, Hl * Wl)
             centroid = coords.reshape(B, N, 2) / (2 ** lvl)
-            dyv, dxv = jnp.meshgrid(jnp.arange(-r, r + 1, dtype=jnp.float32),
+            # x offset on the OUTER window axis (reference quirk, see
+            # corr_lookup docstring)
+            dxv, dyv = jnp.meshgrid(jnp.arange(-r, r + 1, dtype=jnp.float32),
                                     jnp.arange(-r, r + 1, dtype=jnp.float32),
                                     indexing="ij")
             xs = centroid[..., 0:1] + dxv.reshape(-1)[None, None]
@@ -242,7 +252,9 @@ def corr_lookup_block(pyramid: List[jnp.ndarray], coords, radius: int = 4):
         Wx = ex0 * jnp.where(v_x0, 1 - wx, 0.0)[..., None] \
             + ex1 * jnp.where(v_x1, wx, 0.0)[..., None]
 
-        sampled = jnp.einsum("bnir,bnrs,bnjs->bnij", Wy, window, Wx)
+        # output channel order (x-outer, y-inner): out[.., j, i] where j is
+        # the x window index — matches the reference (see corr_lookup doc)
+        sampled = jnp.einsum("bnir,bnrs,bnjs->bnji", Wy, window, Wx)
         outs.append(sampled.reshape(B, H, W, d * d))
     return jnp.concatenate(outs, axis=-1)
 

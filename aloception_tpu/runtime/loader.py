@@ -8,6 +8,7 @@ toolchain is unavailable — callers check ``native_loader_available()``.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -18,6 +19,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "aloloader.cpp")
 _SO = os.path.join(_HERE, "libaloloader.so")
+_SO_SHA = _SO + ".sha"
 _LOCK = threading.Lock()
 _LIB = None
 _BUILD_ERR: Optional[str] = None
@@ -26,15 +28,35 @@ RESNET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 RESNET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _cache_valid() -> bool:
+    """The .so is never committed (built on this machine from source); a
+    sha256 sidecar of the source validates it — mtimes are unreliable after
+    a fresh clone, and a stale/foreign-arch binary must never be loaded."""
+    if not (os.path.exists(_SO) and os.path.exists(_SO_SHA)):
+        return False
+    try:
+        with open(_SO_SHA) as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
+        return False
+
+
 def _build() -> Optional[str]:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
            "-ljpeg", "-lpng", "-lpthread", "-o", _SO]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True,
                        timeout=120)
+        with open(_SO_SHA, "w") as f:
+            f.write(_src_hash())
         return None
     except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
-            FileNotFoundError) as e:
+            FileNotFoundError, OSError) as e:
         return getattr(e, "stderr", str(e)) or str(e)
 
 
@@ -43,8 +65,7 @@ def _load():
     with _LOCK:
         if _LIB is not None or _BUILD_ERR is not None:
             return _LIB
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
+        if not _cache_valid():
             err = _build()
             if err is not None:
                 _BUILD_ERR = err

@@ -19,8 +19,17 @@ from flax.training import train_state
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState; dropout rng folded in per step."""
+    """flax TrainState; dropout rng folded in per step. ``batch_stats``
+    carries BatchNorm running statistics for models that have them (RAFT's
+    cnet, extractor.py) — None for purely stateless models."""
     dropout_rng: Any = None
+    batch_stats: Any = None
+
+    def variables(self):
+        """Full variables dict for model.apply."""
+        if self.batch_stats is not None:
+            return {**self.params, "batch_stats": self.batch_stats}
+        return self.params
 
 
 def _path_names(path):
@@ -52,7 +61,17 @@ def make_optimizer(lr: float = 1e-4, lr_backbone: float = 1e-5,
             lambda path, _: (not _is_backbone(path)) and not _is_frozen_bn(path),
             params)
 
+    def frozen_mask(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: _is_frozen_bn(path), params)
+
+    # Frozen-BN grads are zeroed FIRST: optax.masked passes unmasked updates
+    # through unchanged, so without this the raw (clipped) gradient would leak
+    # into the frozen stats; zeroing before the clip also keeps them out of
+    # the global norm, matching torch requires_grad=False semantics
+    # (reference backbone.py:17 FrozenBatchNorm2d).
     tx = optax.chain(
+        optax.masked(optax.set_to_zero(), frozen_mask),
         optax.clip_by_global_norm(grad_clip),
         optax.masked(optax.adamw(main_lr, weight_decay=weight_decay), head_mask),
         optax.masked(optax.adamw(
@@ -66,7 +85,13 @@ def make_optimizer(lr: float = 1e-4, lr_backbone: float = 1e-5,
 
 
 def make_train_state(model, params, tx=None, rng=None, **opt_kwargs) -> TrainState:
+    """``params`` is the full model.init output; a ``batch_stats`` collection
+    (if any) is split out of the optimizer-visible tree."""
     tx = tx if tx is not None else make_optimizer(**opt_kwargs)
+    batch_stats = None
+    if isinstance(params, dict) and "batch_stats" in params:
+        batch_stats = params["batch_stats"]
+        params = {k: v for k, v in params.items() if k != "batch_stats"}
     return TrainState.create(
-        apply_fn=model.apply, params=params, tx=tx,
+        apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats,
         dropout_rng=rng if rng is not None else jax.random.PRNGKey(0))

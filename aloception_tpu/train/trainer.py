@@ -85,20 +85,33 @@ class Trainer:
 
         def train_step(state, batch):
             rng = jax.random.fold_in(state.dropout_rng, state.step)
+            has_bs = state.batch_stats is not None  # static (None pytree)
 
             def loss_fn(params):
-                out = model.apply(params, *batch["inputs"],
-                                  deterministic=False,
-                                  rngs={"dropout": rng})
+                variables = ({**params, "batch_stats": state.batch_stats}
+                             if has_bs else params)
+                if has_bs:
+                    out, mut = model.apply(
+                        variables, *batch["inputs"], deterministic=False,
+                        rngs={"dropout": rng}, mutable=["batch_stats"])
+                else:
+                    out = model.apply(variables, *batch["inputs"],
+                                      deterministic=False,
+                                      rngs={"dropout": rng})
+                    mut = None
                 loss, metrics = criterion(out, batch["targets"])
-                return loss, metrics
+                return loss, (metrics, mut)
 
-            (loss, metrics), grads = jax.value_and_grad(
+            (loss, (metrics, mut)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-            return state.apply_gradients(grads=grads), pack(metrics)
+            state = state.apply_gradients(grads=grads)
+            if has_bs:
+                state = state.replace(batch_stats=mut["batch_stats"])
+            return state, pack(metrics)
 
-        def eval_step(params, batch):
-            out = model.apply(params, *batch["inputs"], deterministic=True)
+        def eval_step(state, batch):
+            out = model.apply(state.variables(), *batch["inputs"],
+                              deterministic=True)
             loss, metrics = criterion(out, batch["targets"])
             return out, pack(metrics)
 
@@ -151,7 +164,12 @@ class Trainer:
                                         restored.opt_state, self.mesh),
                                     step=restored.step,
                                     dropout_rng=jnp.asarray(
-                                        restored.dropout_rng))
+                                        restored.dropout_rng),
+                                    batch_stats=(
+                                        partition_params(
+                                            restored.batch_stats, self.mesh)
+                                        if restored.batch_stats is not None
+                                        else None))
                             self.global_step = int(restored.step)
                             print(f"[trainer] resumed from step "
                                   f"{self.ckpt.last_step()}")
@@ -192,7 +210,7 @@ class Trainer:
             prepared = self.prepare_batch(raw, training=False)
             batch = self._device_batch(prepared)
             with self.mesh:
-                outputs, metrics = self._eval_step(self.state.params, batch)
+                outputs, metrics = self._eval_step(self.state, batch)
             metrics = dict(zip(self._metric_keys,
                                np.asarray(metrics).tolist()))
             outputs = jax.device_get(outputs)

@@ -191,6 +191,83 @@ def convert_detr_checkpoint(sd: Dict[str, np.ndarray], d_model: int = 256,
     return {"params": params}
 
 
+def convert_raft_checkpoint(sd: Dict[str, np.ndarray],
+                            small: bool = False) -> Dict[str, Any]:
+    """RAFT .pth (reference alonet/raft/raft.py:208 RAFT / raft_small.py:8
+    RAFTSmall, original-repo key layout) -> models/raft/RAFTBase variables
+    {params, batch_stats}.
+
+    fnet uses InstanceNorm (no params); cnet uses BatchNorm — weight/bias go
+    to params, running stats to the batch_stats collection."""
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+
+    def conv(src):
+        out = {"kernel": convert_conv(sd[src + ".weight"])}
+        if src + ".bias" in sd:
+            out["bias"] = sd[src + ".bias"]
+        return out
+
+    def bn_split(src):
+        return ({"scale": sd[src + ".weight"], "bias": sd[src + ".bias"]},
+                {"mean": sd[src + ".running_mean"],
+                 "var": sd[src + ".running_var"]})
+
+    n_convs = 3 if small else 2           # bottleneck vs residual block
+    for enc in ("fnet", "cnet"):
+        is_bn = enc == "cnet"             # build_cnet norm_fn="batch"
+        p: Dict[str, Any] = {"conv1": conv(f"{enc}.conv1"),
+                             "conv2": conv(f"{enc}.conv2")}
+        bs: Dict[str, Any] = {}
+        if is_bn:
+            p["norm1"], bs["norm1"] = bn_split(f"{enc}.norm1")
+        for li in (1, 2, 3):
+            for b in (0, 1):
+                src = f"{enc}.layer{li}.{b}"
+                blk: Dict[str, Any] = {}
+                blk_bs: Dict[str, Any] = {}
+                for ci in range(1, n_convs + 1):
+                    blk[f"conv{ci}"] = conv(f"{src}.conv{ci}")
+                    if is_bn:
+                        blk[f"norm{ci}"], blk_bs[f"norm{ci}"] = bn_split(
+                            f"{src}.norm{ci}")
+                if f"{src}.downsample.0.weight" in sd:
+                    blk["downsample"] = conv(f"{src}.downsample.0")
+                    if is_bn:
+                        nname = f"norm{n_convs + 1}"
+                        blk[nname], blk_bs[nname] = bn_split(
+                            f"{src}.downsample.1")
+                p[f"layer{li}_{b}"] = blk
+                if blk_bs:
+                    bs[f"layer{li}_{b}"] = blk_bs
+        params[enc] = p
+        if bs:
+            batch_stats[enc] = bs
+
+    enc_convs = (["convc1", "convf1", "convf2", "conv"] if small
+                 else ["convc1", "convc2", "convf1", "convf2", "conv"])
+    ub: Dict[str, Any] = {
+        "encoder": {c: conv(f"update_block.encoder.{c}") for c in enc_convs},
+        "flow_head": {c: conv(f"update_block.flow_head.{c}")
+                      for c in ("conv1", "conv2")},
+    }
+    if small:
+        ub["gru"] = {g: conv(f"update_block.gru.{g}")
+                     for g in ("convz", "convr", "convq")}
+    else:
+        ub["gru"] = {f"{g}_{ax}": conv(f"update_block.gru.{g}{i}")
+                     for g in ("convz", "convr", "convq")
+                     for i, ax in ((1, "h"), (2, "v"))}
+        ub["mask_conv1"] = conv("update_block.mask.0")
+        ub["mask_conv2"] = conv("update_block.mask.2")
+    params["update_block"] = ub
+
+    out: Dict[str, Any] = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
 def load_weights(model_params: Any, name_or_path: str, converter=None) -> Any:
     """Load + convert + shape-check against an existing params pytree."""
     import jax
@@ -198,11 +275,18 @@ def load_weights(model_params: Any, name_or_path: str, converter=None) -> Any:
     sd = load_torch_state_dict(path)
     converter = converter or convert_detr_checkpoint
     converted = converter(sd)
-    # shape check against the model's own init
+    # Key-set + shape check against the model's own init. Keys present in
+    # the model but absent from the conversion are an ERROR (an incomplete
+    # converter must not yield a silently part-loaded model).
     flat_ref = jax.tree_util.tree_leaves_with_path(model_params)
     flat_new = dict(jax.tree_util.tree_leaves_with_path(converted))
+    missing = [path_k for path_k, _ in flat_ref if path_k not in flat_new]
+    if missing:
+        raise ValueError(
+            f"converter produced no value for {len(missing)} model params, "
+            f"e.g. {missing[:5]}")
     for path_k, ref in flat_ref:
-        if path_k in flat_new and flat_new[path_k].shape != ref.shape:
+        if flat_new[path_k].shape != ref.shape:
             raise ValueError(f"shape mismatch at {path_k}: "
                              f"{flat_new[path_k].shape} vs {ref.shape}")
     return converted

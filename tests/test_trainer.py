@@ -71,3 +71,30 @@ def test_checkpoint_best_pruning(tmp_path):
     assert kept == {2, 3}  # step 1 pruned
     restored = cm.restore({"w": jnp.zeros((4,))}, best=True)
     assert np.allclose(restored["w"], 1.0)
+
+
+def test_frozen_bn_params_never_update():
+    """Regression: optax.masked passes unmasked updates through UNCHANGED, so
+    frozen-BN leaves must be explicitly zeroed or they get the raw clipped
+    gradient (advisor round-1, train/state.py)."""
+    from aloception_tpu.train.state import make_optimizer
+
+    params = {
+        "backbone": {"bn_init": {"scale": jnp.ones(4), "bias": jnp.zeros(4)},
+                     "conv": {"kernel": jnp.ones((3, 3, 4, 4))}},
+        "head": {"kernel": jnp.ones((4, 4))},
+    }
+    tx = make_optimizer(lr=1e-4, lr_backbone=1e-5, grad_clip=0.1)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # frozen BN: exactly zero update
+    assert float(jnp.abs(updates["backbone"]["bn_init"]["scale"]).max()) == 0.0
+    assert float(jnp.abs(updates["backbone"]["bn_init"]["bias"]).max()) == 0.0
+    # trainable leaves: non-zero updates
+    assert float(jnp.abs(updates["head"]["kernel"]).max()) > 0.0
+    assert float(jnp.abs(updates["backbone"]["conv"]["kernel"]).max()) > 0.0
+    # backbone LR group is ~10x smaller than head group
+    h = float(jnp.abs(updates["head"]["kernel"]).mean())
+    b = float(jnp.abs(updates["backbone"]["conv"]["kernel"]).mean())
+    assert b < h
