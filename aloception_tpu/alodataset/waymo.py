@@ -117,15 +117,10 @@ class WaymoDataset(SequenceMixin, SplitMixin, BaseDataset):
 
     @staticmethod
     def prepare(tfrecord_dir: str, out_dir: str):
-        """TFRecord -> on-disk conversion (prepare/waymo_converter.py).
-        Requires the optional waymo-open-dataset package."""
-        try:
-            import waymo_open_dataset  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "waymo-open-dataset is required for prepare(); the prepared "
-                "on-disk layout documented in this module can also be "
-                "produced by any external converter") from e
-        raise NotImplementedError(
-            "run the reference converter or an external tool; this build "
-            "consumes the prepared layout")
+        """TFRecord -> on-disk conversion. Dependency-free reimplementation
+        of the reference converter (prepare/waymo_converter.py, 438 LoC):
+        the TFRecord framing and the waymo Frame proto are parsed directly
+        (see prepare/waymo_converter.py in this package), so neither
+        tensorflow nor waymo-open-dataset is required."""
+        from .prepare.waymo_converter import prepare as _prepare
+        return _prepare(tfrecord_dir, out_dir)

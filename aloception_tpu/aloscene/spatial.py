@@ -129,7 +129,13 @@ class SpatialAugmentedArray(AugmentedArray):
     # ------------------------------------------------------------------
     @staticmethod
     def batch_list(sa_arrays: Union[List, Dict], pad_boxes: bool = False,
-                   pad_points2d: bool = False, intersection: bool = False):
+                   pad_points2d: bool = False, intersection: bool = False,
+                   size=None):
+        """Pad to the per-batch max (reference semantics,
+        spatial_augmented_tensor.py:322) or, with ``size=(H, W)``, to a
+        fixed canonical shape — the hook the bucketed multi-scale training
+        geometry uses to bound XLA recompilation to one compile per bucket.
+        """
         from .mask import Mask
 
         if isinstance(sa_arrays, dict) or (
@@ -139,12 +145,18 @@ class SpatialAugmentedArray(AugmentedArray):
                 sa_arrays = {k: [d[k] for d in sa_arrays] for k in keys}
             return {k: SpatialAugmentedArray.batch_list(
                 v, pad_boxes=pad_boxes, pad_points2d=pad_points2d,
-                intersection=intersection) for k, v in sa_arrays.items()}
+                intersection=intersection, size=size)
+                for k, v in sa_arrays.items()}
 
         frames = [f for f in sa_arrays if f is not None]
         assert len(frames) >= 1
         max_h = max(f.H for f in frames)
         max_w = max(f.W for f in frames)
+        if size is not None:
+            assert size[0] >= max_h and size[1] >= max_w, (
+                f"batch_list size {size} smaller than batch max "
+                f"({max_h}, {max_w})")
+            max_h, max_w = int(size[0]), int(size[1])
 
         padded, masks = [], []
         for f in frames:

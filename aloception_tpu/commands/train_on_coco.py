@@ -27,6 +27,9 @@ def add_argparse_args(p: argparse.ArgumentParser):
                    help="2 train batches + 1 val batch")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--size", type=int, nargs=2, default=(480, 640))
+    p.add_argument("--multiscale", action="store_true",
+                   help="reference multi-scale geometry (scales 480-800, "
+                        "max 1333, bucketed padding) instead of --size")
     p.add_argument("--project", default=None)
     p.add_argument("--expe_name", default="coco")
     p.add_argument("--run_id", default=None)
@@ -54,7 +57,8 @@ def main(argv=None):
     dm = CocoDetection2Detr(batch_size=args.batch_size,
                             num_workers=args.num_workers,
                             train_on_val=args.train_on_val,
-                            sample=args.sample, size=tuple(args.size))
+                            sample=args.sample,
+                            size=None if args.multiscale else tuple(args.size))
     kwargs = dict(
         data_module=dm, run_id=args.run_id, expe_name=args.expe_name,
         log=args.log, tp=args.tp,

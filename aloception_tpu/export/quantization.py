@@ -103,6 +103,126 @@ class MinMaxCalibrator:
         return self.scales()
 
 
+class HistogramCalibrator:
+    """Histogram-based activation calibrator base (the reference's Legacy/
+    Entropy/Entropy2 calibrators all collect histograms first,
+    calibrator.py:160-241). Maintains a per-tensor |x| histogram with a
+    dynamically expanding range (rebinning by power-of-two growth)."""
+
+    def __init__(self, num_bins: int = 2048):
+        self.num_bins = num_bins
+        self.hists: Dict[str, np.ndarray] = {}
+        self.ranges: Dict[str, float] = {}
+
+    def observe(self, name: str, value):
+        v = np.abs(np.asarray(value, np.float32)).ravel()
+        vmax = float(v.max(initial=0.0))
+        if vmax == 0.0 and name not in self.hists:
+            return
+        if name not in self.hists:
+            self.hists[name] = np.zeros(self.num_bins, np.int64)
+            self.ranges[name] = max(vmax, 1e-12)
+        while vmax > self.ranges[name]:
+            # rebin 2x: fold pairs of bins together, double the range
+            h = self.hists[name]
+            folded = h.reshape(self.num_bins // 2, 2).sum(1)
+            self.hists[name] = np.concatenate(
+                [folded, np.zeros(self.num_bins - self.num_bins // 2,
+                                  np.int64)])
+            self.ranges[name] *= 2
+        hist, _ = np.histogram(v, bins=self.num_bins,
+                               range=(0.0, self.ranges[name]))
+        self.hists[name] += hist
+
+    def calibrate(self, fn: Callable, streamer: "DataBatchStreamer",
+                  names: Optional[List[str]] = None) -> Dict[str, float]:
+        for batch in streamer:
+            acts = fn(batch)
+            for k, v in acts.items():
+                if names is None or k in names:
+                    self.observe(k, v)
+        return self.scales()
+
+    def scales(self, bits: int = 8) -> Dict[str, float]:
+        raise NotImplementedError
+
+
+class PercentileCalibrator(HistogramCalibrator):
+    """Scale from the p-th percentile of |activation| — clips the extreme
+    tail that would otherwise waste int8 range (the practical default among
+    the reference's histogram strategies)."""
+
+    def __init__(self, percentile: float = 99.9, num_bins: int = 2048):
+        super().__init__(num_bins)
+        self.percentile = percentile
+
+    def scales(self, bits: int = 8) -> Dict[str, float]:
+        qmax = 2 ** (bits - 1) - 1
+        out = {}
+        for k, h in self.hists.items():
+            total = h.sum()
+            if total == 0:
+                out[k] = 1.0
+                continue
+            cdf = np.cumsum(h) / total
+            idx = int(np.searchsorted(cdf, self.percentile / 100.0))
+            idx = min(idx, self.num_bins - 1)
+            amax = (idx + 1) / self.num_bins * self.ranges[k]
+            out[k] = amax / qmax if amax > 0 else 1.0
+        return out
+
+
+class EntropyCalibrator(HistogramCalibrator):
+    """KL-divergence-minimizing threshold (TensorRT's entropy calibration,
+    the reference's TRTCalibratorEntropy* analog, calibrator.py:192-241):
+    pick the clip point whose quantized distribution diverges least from the
+    observed one."""
+
+    def scales(self, bits: int = 8) -> Dict[str, float]:
+        qmax = 2 ** (bits - 1) - 1
+        levels = 2 ** (bits - 1)          # 128 magnitude levels
+        out = {}
+        for k, h in self.hists.items():
+            total = h.sum()
+            if total == 0:
+                out[k] = 1.0
+                continue
+            h = h.astype(np.float64)
+            best_i, best_kl = self.num_bins, np.inf
+            for i in range(levels, self.num_bins + 1, levels // 2):
+                p = h[:i].copy()
+                p[-1] += h[i:].sum()        # clipped tail mass
+                if p.sum() == 0:
+                    continue
+                # quantize the first i bins down to `levels` buckets
+                factor = i / levels
+                idx = (np.arange(i) / factor).astype(int)
+                q_small = np.bincount(idx, weights=h[:i], minlength=levels)
+                counts = np.bincount(idx, minlength=levels)
+                # expand back, spreading each bucket over its source bins
+                # (zero source bins stay zero, as in TRT's algorithm)
+                nz = h[:i] > 0
+                nz_per_bucket = np.bincount(idx, weights=nz.astype(float),
+                                            minlength=levels)
+                spread = np.where(nz_per_bucket[idx] > 0,
+                                  q_small[idx] / np.maximum(
+                                      nz_per_bucket[idx], 1), 0.0)
+                q = np.where(nz, spread, 0.0)
+                pn = p / p.sum()
+                qs = q.sum()
+                if qs == 0:
+                    continue
+                qn = q / qs
+                mask = pn > 0
+                kl = float(np.sum(pn[mask] * np.log(
+                    pn[mask] / np.maximum(qn[mask], 1e-12))))
+                if kl < best_kl:
+                    best_kl, best_i = kl, i
+            amax = best_i / self.num_bins * self.ranges[k]
+            out[k] = amax / qmax if amax > 0 else 1.0
+        return out
+
+
 def fake_quant(x, bits: int = 8, axis: int = -1):
     """Straight-through fake quantization — the QAT building block
     (reference: torch2trt/quantization.py:12 QuantizedModel wraps layers in

@@ -139,17 +139,51 @@ def ms_deform_attn_fast(value, value_spatial_shapes, sampling_locations,
     return out.reshape(B, Lq, nH * C).astype(value.dtype)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _msda_pallas(shapes, value, loc, w):
+    import jax as _jax
+    from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas
+    interpret = _jax.default_backend() == "cpu"
+    return ms_deform_attn_pallas(value, shapes, loc, w, 128, interpret)
+
+
+def _msda_pallas_fwd(shapes, value, loc, w):
+    return _msda_pallas(shapes, value, loc, w), (value, loc, w)
+
+
+def _msda_pallas_bwd(shapes, res, g):
+    # backward through the (numerically identical) XLA formulation — the
+    # Pallas kernel is forward-only, mirroring the reference's split between
+    # the CUDA forward and its dedicated backward (ms_deform_attn_cuda.cu:81)
+    value, loc, w = res
+    _, vjp = jax.vjp(
+        lambda v, l, a: ms_deform_attn_fast(v, shapes, l, a), value, loc, w)
+    return vjp(g)
+
+
+_msda_pallas.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)
+
+
 def ms_deform_attn(value, value_spatial_shapes, sampling_locations,
                    attention_weights, impl: str = "fast"):
-    """Dispatch between implementations ('fast' take_along_axis | 'lax'
-    reference | 'pallas' kernel when available)."""
+    """Dispatch between implementations:
+
+    - 'fast': XLA row gathers (take_along_axis) — best for encoder
+      self-attention where Len_q ~ Len_v (the Pallas one-hot contraction
+      would be quadratic there).
+    - 'pallas': gather-free MXU one-hot contraction kernel
+      (ops/pallas/ms_deform_attn_kernel.py) — wins for the decoder's small
+      Len_q; differentiable via a custom VJP that runs the backward through
+      the 'fast' graph.
+    - 'lax': the pure-jnp reference semantics (parity oracle).
+    """
     if impl == "pallas":
-        try:
-            from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas
-            return ms_deform_attn_pallas(value, value_spatial_shapes,
-                                         sampling_locations, attention_weights)
-        except (ImportError, NotImplementedError):
-            impl = "fast"
+        shapes = tuple((int(h), int(w)) for h, w in value_spatial_shapes)
+        return _msda_pallas(shapes, value, sampling_locations,
+                            attention_weights)
     if impl == "fast":
         return ms_deform_attn_fast(value, value_spatial_shapes,
                                    sampling_locations, attention_weights)

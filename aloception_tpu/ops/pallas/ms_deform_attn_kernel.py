@@ -1,0 +1,135 @@
+"""Pallas TPU kernel for multi-scale deformable attention sampling.
+
+Reference CUDA core: /root/reference/alonet/deformable_detr/ops/src/cuda/
+ms_deform_im2col_cuda.cuh (per-sample bilinear gathers — a GPU-shaped
+design). TPUs have no efficient scattered gather, so this kernel re-casts
+the op as MXU work: for each query tile and level, the bilinear corner
+selection becomes a one-hot coefficient plane (built on the VPU with
+compare+FMA passes, one per (point, corner)) and the sampling collapses to a
+single (Tq, HW_l) @ (HW_l, C) matmul on the MXU. No gathers anywhere.
+
+Cost model: MXU flops = Lq * Len_v * C per head (dense over the level), so
+this wins where Lq is small relative to the gather cost — the decoder
+(Lq=300). The encoder (Lq = Len_v ~ 1e4) would be quadratic; use
+``ms_deform_attn_fast`` (XLA row gathers) there. ``ms_deform_attn`` keeps
+both behind one interface.
+
+Parity: bit-matches ms_deform_attn_lax (same align_corners=False,
+zero-padding semantics); tested in tests/test_pallas_kernels.py (interpret
+mode on CPU) and on real TPU by scripts/bench_msda.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _level_starts(shapes):
+    starts = [0]
+    for (h, w) in shapes[:-1]:
+        starts.append(starts[-1] + h * w)
+    return tuple(starts)
+
+
+def _kernel(value_ref, loc_ref, w_ref, out_ref, *, shapes, starts, P):
+    """Grid: (B, nH, Lq // Tq). Block shapes carry two leading unit dims
+    (batch, head) selected by the index map.
+
+    value_ref: (1, 1, Len_v, C) one head's flattened levels
+    loc_ref:   (1, 1, Tq, L, P, 2)
+    w_ref:     (1, 1, Tq, L, P)
+    out_ref:   (1, 1, Tq, C)
+    """
+    Tq = loc_ref.shape[2]
+    acc = jnp.zeros((Tq, out_ref.shape[3]), jnp.float32)
+
+    for lvl, (H_l, W_l) in enumerate(shapes):
+        HW = H_l * W_l
+        v_l = value_ref[0, 0, starts[lvl]:starts[lvl] + HW, :]  # (HW, C)
+        x = loc_ref[0, 0, :, lvl, :, 0] * W_l - 0.5             # (Tq, P)
+        y = loc_ref[0, 0, :, lvl, :, 1] * H_l - 0.5
+        w = w_ref[0, 0, :, lvl, :]                              # (Tq, P)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = x - x0
+        wy = y - y0
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Tq, HW), 1)
+        coeff = jnp.zeros((Tq, HW), jnp.float32)
+        for p in range(P):
+            for (dy, dx, cw) in (
+                    (0, 0, (1 - wy) * (1 - wx)),
+                    (0, 1, (1 - wy) * wx),
+                    (1, 0, wy * (1 - wx)),
+                    (1, 1, wy * wx)):
+                yy = y0[:, p] + dy
+                xx = x0[:, p] + dx
+                valid = (xx >= 0) & (xx < W_l) & (yy >= 0) & (yy < H_l)
+                flat = (jnp.clip(yy, 0, H_l - 1).astype(jnp.int32) * W_l
+                        + jnp.clip(xx, 0, W_l - 1).astype(jnp.int32))
+                cwp = jnp.where(valid, cw[:, p] * w[:, p], 0.0)
+                # one-hot FMA: coeff[q, flat[q]] += cwp[q]
+                coeff = coeff + jnp.where(
+                    iota == flat[:, None], cwp[:, None], 0.0)
+        acc = acc + jax.lax.dot(coeff, v_l.astype(jnp.float32),
+                                preferred_element_type=jnp.float32)
+    out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4, 5))
+def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
+                          attention_weights, tile_q: int = 128,
+                          interpret: bool = False):
+    """Shapes as in ops/ms_deform_attn.py:
+    value (B, Len_v, nH, C); sampling_locations (B, Lq, nH, L, P, 2) in
+    [0,1]; attention_weights (B, Lq, nH, L, P). Returns (B, Lq, nH * C).
+    """
+    B, Len_v, nH, C = value.shape
+    Lq = sampling_locations.shape[1]
+    L = len(value_spatial_shapes)
+    P = sampling_locations.shape[4]
+    shapes = tuple((int(h), int(w)) for h, w in value_spatial_shapes)
+    starts = _level_starts(shapes)
+
+    Tq = min(tile_q, Lq)
+    pad_q = (-Lq) % Tq
+    loc = sampling_locations
+    w = attention_weights
+    if pad_q:
+        loc = jnp.pad(loc, ((0, 0), (0, pad_q), (0, 0), (0, 0), (0, 0),
+                            (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, pad_q), (0, 0), (0, 0), (0, 0)))
+    Lq_p = Lq + pad_q
+
+    # head-major value so each grid step sees one head's contiguous plane
+    value_h = value.transpose(0, 2, 1, 3)        # (B, nH, Len_v, C)
+    loc_h = loc.transpose(0, 2, 1, 3, 4, 5)      # (B, nH, Lq_p, L, P, 2)
+    w_h = w.transpose(0, 2, 1, 3, 4)             # (B, nH, Lq_p, L, P)
+
+    kernel = functools.partial(_kernel, shapes=shapes, starts=starts, P=P)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nH, Lq_p // Tq),
+        in_specs=[
+            pl.BlockSpec((1, 1, Len_v, C), lambda b, h, t: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tq, L, P, 2), lambda b, h, t: (b, h, t, 0,
+                                                               0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tq, L, P), lambda b, h, t: (b, h, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Tq, C), lambda b, h, t: (b, h, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nH, Lq_p, C), value.dtype),
+        interpret=interpret,
+    )(value_h, loc_h, w_h)
+
+    out = out.transpose(0, 2, 1, 3).reshape(B, Lq_p, nH * C)
+    return out[:, :Lq]

@@ -20,12 +20,45 @@ from ..alodataset import transforms as T
 from ..models.detr.criterion import targets_from_frames
 
 
+REFERENCE_SCALES = [480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800]
+
+# Canonical padded batch shapes for multi-scale training, (short, long),
+# multiples of 64: every reference-scale output (shorter side 480-800,
+# longer <= 1333, data2detr.py:153) fits one of these (or its transpose for
+# portrait images), so the jitted train step compiles AT MOST once per
+# bucket instead of once per unique image shape.
+MULTISCALE_BUCKETS = ((512, 768), (512, 1344), (704, 960), (704, 1344),
+                      (832, 1088), (832, 1344))
+
+
+def pick_bucket(max_h: int, max_w: int,
+                buckets=MULTISCALE_BUCKETS) -> Tuple[int, int]:
+    """Smallest bucket (by area) covering (max_h, max_w), trying both
+    orientations; falls back to the 64-rounded exact shape if none fits."""
+    best = None
+    for s, l in buckets:
+        for bh, bw in ((s, l), (l, s)):
+            if bh >= max_h and bw >= max_w:
+                if best is None or bh * bw < best[0] * best[1]:
+                    best = (bh, bw)
+    if best is None:
+        best = (-(-max_h // 64) * 64, -(-max_w // 64) * 64)
+    return best
+
+
 class CocoDetection2Detr:
-    """(coco_data2detr.py / data2detr.py:131) COCO -> DETR batches."""
+    """(coco_data2detr.py / data2detr.py:131) COCO -> DETR batches.
+
+    size=None (default) = the reference's multi-scale geometry: shorter side
+    randomly in REFERENCE_SCALES with max_size 1333 (+ the resize-crop-resize
+    branch, data2detr.py:153-163), batches padded to a small set of canonical
+    buckets (MULTISCALE_BUCKETS) so recompilation is bounded. Pass an
+    explicit (H, W) for single-shape training (smoke tests, fixed-size
+    export)."""
 
     def __init__(self, batch_size: int = 2, num_workers: int = 2,
                  train_on_val: bool = False, sample: bool = False,
-                 size: Tuple[int, int] = (480, 640),
+                 size: Optional[Tuple[int, int]] = None,
                  scales: Optional[List[int]] = None,
                  max_targets: int = 100, classes: Optional[List[str]] = None,
                  **dataset_kwargs):
@@ -33,16 +66,35 @@ class CocoDetection2Detr:
         self.num_workers = num_workers
         self.size = size
         self.max_targets = max_targets
-        scales = scales or [392, 416, 448, 480]
 
-        # train transforms (data2detr.py:131): flip + multi-scale resize;
-        # final Resize to the canonical size keeps shapes static
-        self.train_transform = T.Compose([
-            T.RandomHorizontalFlip(p=0.5),
-            T.RandomResizeWithAspectRatio(scales, max_size=int(size[1] * 1.2)),
-            T.Resize(tuple(size)),
-        ])
-        self.val_transform = T.Resize(tuple(size))
+        if size is None:
+            scales = scales or REFERENCE_SCALES
+            max_size = 1333
+            # (data2detr.py:153-163) flip + {multi-scale resize | resize +
+            # crop + resize}; padding to buckets happens in prepare_batch
+            self.train_transform = T.Compose([
+                T.RandomHorizontalFlip(p=0.5),
+                T.RandomSelect(
+                    T.RandomResizeWithAspectRatio(scales, max_size=max_size),
+                    T.Compose([
+                        T.RandomResizeWithAspectRatio([400, 500, 600]),
+                        T.RandomSizeCrop(384, 600),
+                        T.RandomResizeWithAspectRatio(scales,
+                                                      max_size=max_size),
+                    ])),
+            ])
+            # (data2detr.py:197) shorter side 800, max 1333
+            self.val_transform = T.RandomResizeWithAspectRatio(
+                [scales[-1]], max_size=max_size)
+        else:
+            scales = scales or [392, 416, 448, 480]
+            self.train_transform = T.Compose([
+                T.RandomHorizontalFlip(p=0.5),
+                T.RandomResizeWithAspectRatio(
+                    scales, max_size=int(size[1] * 1.2)),
+                T.Resize(tuple(size)),
+            ])
+            self.val_transform = T.Resize(tuple(size))
 
         def make(split, tfn):
             if sample:
@@ -71,8 +123,14 @@ class CocoDetection2Detr:
 
     def prepare_batch(self, frames_list: List, training: bool = True) -> Dict:
         """list[Frame] -> {"inputs": (images NHWC, mask), "targets", "frames"}
-        (the LitDetr.training_step preamble, detr/train.py:129-311)."""
-        batched = aloscene.batch_list(frames_list)
+        (the LitDetr.training_step preamble, detr/train.py:129-311). In
+        multi-scale mode the batch is padded to its canonical bucket."""
+        bucket = None
+        if self.size is None:
+            max_h = max(f.H for f in frames_list if f is not None)
+            max_w = max(f.W for f in frames_list if f is not None)
+            bucket = pick_bucket(max_h, max_w)
+        batched = aloscene.batch_list(frames_list, size=bucket)
         images = np.asarray(batched.as_layout(("B", "H", "W", "C")),
                             np.float32)
         mask = np.asarray(

@@ -33,3 +33,46 @@ def test_corr_pyramid_kernel_odd_level_dims():
     for a, b in zip(ref, out):
         assert a.shape == b.shape
         assert float(jnp.abs(a - b).max()) < 1e-5
+
+
+def _msda_inputs(Lq=50, seed=0):
+    rng = np.random.RandomState(seed)
+    B, nH, C, L, P = 2, 8, 32, 4, 4
+    shapes = ((16, 20), (8, 10), (4, 5), (2, 3))
+    Len_v = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.randn(B, Len_v, nH, C), jnp.float32)
+    # some locations deliberately out of [0,1] to exercise zero padding
+    loc = jnp.asarray(rng.rand(B, Lq, nH, L, P, 2) * 1.2 - 0.1, jnp.float32)
+    w = jax.nn.softmax(
+        jnp.asarray(rng.randn(B, Lq, nH, L, P), jnp.float32)
+        .reshape(B, Lq, nH, -1), -1).reshape(B, Lq, nH, L, P)
+    return value, shapes, loc, w
+
+
+def test_ms_deform_attn_pallas_parity():
+    from aloception_tpu.ops.ms_deform_attn import (ms_deform_attn,
+                                                   ms_deform_attn_lax)
+    value, shapes, loc, w = _msda_inputs()
+    want = ms_deform_attn_lax(value, shapes, loc, w)
+    got = ms_deform_attn(value, shapes, loc, w, impl="pallas")
+    assert got.shape == want.shape
+    assert float(jnp.abs(got - want).max()) < 1e-5
+
+
+def test_ms_deform_attn_pallas_grad_parity():
+    """The pallas impl's custom VJP must match the lax gradients (the
+    reference tests CUDA grads against pytorch the same way, ops/test.py)."""
+    from aloception_tpu.ops.ms_deform_attn import (ms_deform_attn,
+                                                   ms_deform_attn_lax)
+    value, shapes, loc, w = _msda_inputs(Lq=20, seed=1)
+
+    def loss(impl):
+        def f(v, l, a):
+            out = ms_deform_attn(v, shapes, l, a, impl=impl)
+            return jnp.sum(out * out)
+        return f
+
+    g_ref = jax.grad(loss("lax"), argnums=(0, 1, 2))(value, loc, w)
+    g_pal = jax.grad(loss("pallas"), argnums=(0, 1, 2))(value, loc, w)
+    for a, b in zip(g_ref, g_pal):
+        assert float(jnp.abs(a - b).max()) < 1e-4

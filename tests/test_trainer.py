@@ -98,3 +98,46 @@ def test_frozen_bn_params_never_update():
     h = float(jnp.abs(updates["head"]["kernel"]).mean())
     b = float(jnp.abs(updates["backbone"]["conv"]["kernel"]).mean())
     assert b < h
+
+
+def test_multiscale_bucketed_geometry():
+    """Multi-scale mode pads every batch to one of the canonical buckets
+    (bounded recompilation) and defaults match the reference scales
+    (data2detr.py:153)."""
+    from aloception_tpu.train.data_modules import (
+        CocoDetection2Detr, MULTISCALE_BUCKETS, REFERENCE_SCALES, pick_bucket)
+    from aloception_tpu.aloscene import Frame
+
+    assert REFERENCE_SCALES[0] == 480 and REFERENCE_SCALES[-1] == 800
+
+    # pick_bucket covers every legal post-aug shape with a bucket shape
+    rng = np.random.RandomState(0)
+    shapes = set()
+    for _ in range(200):
+        short = rng.randint(480, 801)
+        long = rng.randint(short, 1334)
+        h, w = (short, long) if rng.rand() < 0.5 else (long, short)
+        bh, bw = pick_bucket(h, w)
+        assert bh >= h and bw >= w
+        assert (min(bh, bw), max(bh, bw)) in MULTISCALE_BUCKETS
+        shapes.add((bh, bw))
+    assert len(shapes) <= 2 * len(MULTISCALE_BUCKETS)
+
+    from aloception_tpu.aloscene import BoundingBoxes2D, Labels
+
+    def make_frame(h, w):
+        f = Frame(np.zeros((3, h, w), np.float32)).norm_resnet()
+        f.append_boxes2d(BoundingBoxes2D(
+            np.array([[0.5, 0.5, 0.2, 0.2]], np.float32), "xcyc", False,
+            frame_size=(h, w),
+            labels=Labels(np.array([1.0], np.float32))))
+        return f
+
+    dm = CocoDetection2Detr(sample=True, size=None)
+    frames = [make_frame(500, 640), make_frame(480, 720)]
+    out = dm.prepare_batch(frames)
+    images, mask = out["inputs"]
+    assert (min(images.shape[1:3]), max(images.shape[1:3])) \
+        in MULTISCALE_BUCKETS
+    # padded area is masked
+    assert mask[0, 510, 10] == 1.0 and mask[0, 100, 100] == 0.0
