@@ -139,6 +139,85 @@ def ms_deform_attn_fast(value, value_spatial_shapes, sampling_locations,
     return out.reshape(B, Lq, nH * C).astype(value.dtype)
 
 
+def ms_deform_attn_block(value, value_spatial_shapes, sampling_locations,
+                         attention_weights):
+    """Block-slice formulation: ONE vmapped (2, 2, C) dynamic_slice per
+    (query, head, level, point) instead of 4 corner gathers — the RAFT
+    block-gather lesson (ops/correlation.py corr_lookup_block): XLA's TPU
+    gather cost scales with the INDEX COUNT, so fetching each bilinear
+    window as one block quarters the cost. Numerically identical to
+    ms_deform_attn_lax (clamped slice start + one-hot corner selection
+    reproduces the zero-padding OOB semantics)."""
+    B, Len_v, nH, C = value.shape
+    Lq = sampling_locations.shape[1]
+    P = sampling_locations.shape[4]
+    starts = _level_starts(value_spatial_shapes)
+
+    out = jnp.zeros((B, Lq, nH, C), jnp.float32)
+    for lvl, (H_l, W_l) in enumerate(value_spatial_shapes):
+        value_l = jax.lax.dynamic_slice_in_dim(
+            value, starts[lvl], H_l * W_l, axis=1)
+        loc = sampling_locations[:, :, :, lvl]        # (B, Lq, nH, P, 2)
+        w = attention_weights[:, :, :, lvl]           # (B, Lq, nH, P)
+        if H_l < 2 or W_l < 2:
+            # degenerate level: 2x2 block slices don't fit; corner gathers
+            # are cheap at this size
+            sampled = _sample_level(
+                value_l.reshape(B, H_l, W_l, nH, C), loc, H_l, W_l)
+            out = out + (sampled.astype(jnp.float32)
+                         * w[..., None].astype(jnp.float32)).sum(axis=3)
+            continue
+        # (B, nH, H_l, W_l, C): per-(batch, head) spatial planes
+        v = value_l.reshape(B, H_l, W_l, nH, C).transpose(0, 3, 1, 2, 4)
+
+        x = loc[..., 0] * W_l - 0.5
+        y = loc[..., 1] * H_l - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = x - x0
+        wy = y - y0
+        # clamp the 2x2 window into the image; rel in {-1, 0, 1} marks where
+        # the true corner sits relative to the clamped block
+        ys = jnp.clip(y0, 0, H_l - 2).astype(jnp.int32)
+        xs = jnp.clip(x0, 0, W_l - 2).astype(jnp.int32)
+        ry = y0 - ys                                   # float in {-1, 0, 1}
+        rx = x0 - xs
+
+        def slice_one(plane, ys1, xs1):
+            return jax.lax.dynamic_slice(plane, (ys1, xs1, 0), (2, 2, C))
+
+        # vmap over (B, nH) planes then (Lq, P) windows
+        sl = jax.vmap(jax.vmap(                        # B, nH
+            jax.vmap(jax.vmap(slice_one, (None, 0, 0)), (None, 0, 0)),
+            (0, 0, 0)), (0, 0, 0))
+        # rearrange indices to (B, nH, Lq, P)
+        blocks = sl(v, ys.transpose(0, 2, 1, 3), xs.transpose(0, 2, 1, 3))
+        # blocks: (B, nH, Lq, P, 2, 2, C)
+
+        # corner weights with one-hot selection over the 2-row/2-col block:
+        # block row r sits at absolute y = ys + r; it carries the (1-wy)
+        # weight when it coincides with corner y0 and the wy weight when it
+        # coincides with y0+1, zeroed when that corner is out of bounds
+        a0 = jnp.where((ry == 0) & (y0 >= 0), 1 - wy, 0.0) \
+            + jnp.where((ry == -1) & (y0 + 1 >= 0) & (y0 + 1 < H_l), wy, 0.0)
+        a1 = jnp.where((ry == 0) & (y0 + 1 < H_l), wy, 0.0) \
+            + jnp.where((ry == 1) & (y0 >= 0) & (y0 < H_l), 1 - wy, 0.0)
+        b0 = jnp.where((rx == 0) & (x0 >= 0), 1 - wx, 0.0) \
+            + jnp.where((rx == -1) & (x0 + 1 >= 0) & (x0 + 1 < W_l), wx, 0.0)
+        b1 = jnp.where((rx == 0) & (x0 + 1 < W_l), wx, 0.0) \
+            + jnp.where((rx == 1) & (x0 >= 0) & (x0 < W_l), 1 - wx, 0.0)
+        # (B, Lq, nH, P, 2) -> (B, nH, Lq, P, 2)
+        ab = jnp.stack([a0, a1], -1).transpose(0, 2, 1, 3, 4)
+        bb = jnp.stack([b0, b1], -1).transpose(0, 2, 1, 3, 4)
+        sampled = jnp.einsum("bhqpr,bhqprsc,bhqps->bhqpc",
+                             ab.astype(jnp.float32),
+                             blocks.astype(jnp.float32),
+                             bb.astype(jnp.float32))
+        contrib = (sampled * w.transpose(0, 2, 1, 3)[..., None]).sum(3)
+        out = out + contrib.transpose(0, 2, 1, 3)      # (B, Lq, nH, C)
+    return out.reshape(B, Lq, nH * C).astype(value.dtype)
+
+
 import functools
 
 
@@ -147,7 +226,9 @@ def _msda_pallas(shapes, value, loc, w):
     import jax as _jax
     from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas
     interpret = _jax.default_backend() == "cpu"
-    return ms_deform_attn_pallas(value, shapes, loc, w, 128, interpret)
+    # Tq=64 keeps the per-program coeff/iota planes under the 16M VMEM cap
+    # at encoder-scale levels (128 OOMs at level0 HW=6400)
+    return ms_deform_attn_pallas(value, shapes, loc, w, 64, interpret)
 
 
 def _msda_pallas_fwd(shapes, value, loc, w):
@@ -171,19 +252,23 @@ def ms_deform_attn(value, value_spatial_shapes, sampling_locations,
                    attention_weights, impl: str = "fast"):
     """Dispatch between implementations:
 
-    - 'fast': XLA row gathers (take_along_axis) — best for encoder
-      self-attention where Len_q ~ Len_v (the Pallas one-hot contraction
-      would be quadratic there).
+    - 'block': ONE (2,2,C) dynamic-slice per sample point (4x fewer gather
+      indices than 'fast'; fully differentiable) — the default.
+    - 'fast': XLA row gathers (take_along_axis).
     - 'pallas': gather-free MXU one-hot contraction kernel
-      (ops/pallas/ms_deform_attn_kernel.py) — wins for the decoder's small
-      Len_q; differentiable via a custom VJP that runs the backward through
-      the 'fast' graph.
+      (ops/pallas/ms_deform_attn_kernel.py) — candidate for the decoder's
+      small Len_q (quadratic in Len_q, so not for the encoder);
+      differentiable via a custom VJP that runs the backward through the
+      'fast' graph.
     - 'lax': the pure-jnp reference semantics (parity oracle).
     """
     if impl == "pallas":
         shapes = tuple((int(h), int(w)) for h, w in value_spatial_shapes)
         return _msda_pallas(shapes, value, sampling_locations,
                             attention_weights)
+    if impl == "block":
+        return ms_deform_attn_block(value, value_spatial_shapes,
+                                    sampling_locations, attention_weights)
     if impl == "fast":
         return ms_deform_attn_fast(value, value_spatial_shapes,
                                    sampling_locations, attention_weights)

@@ -37,46 +37,35 @@ def _level_starts(shapes):
     return tuple(starts)
 
 
-def _kernel(value_ref, loc_ref, w_ref, out_ref, *, shapes, starts, P):
+def _kernel(value_ref, idx_ref, cw_ref, out_ref, *, shapes, starts, P):
     """Grid: (B, nH, Lq // Tq). Block shapes carry two leading unit dims
     (batch, head) selected by the index map.
 
     value_ref: (1, 1, Len_v, C) one head's flattened levels
-    loc_ref:   (1, 1, Tq, L, P, 2)
-    w_ref:     (1, 1, Tq, L, P)
+    idx_ref:   (1, 1, L, 4P, Tq) int32 flat corner indices (level-local)
+    cw_ref:    (1, 1, L, 4P, Tq) f32 corner weights (0 where OOB)
     out_ref:   (1, 1, Tq, C)
+
+    The (point, corner) one-hot passes run as a fori_loop so the compiler
+    materializes ONE coefficient plane, not 4P*L of them (a fully unrolled
+    variant OOM-killed the TPU compiler).
     """
-    Tq = loc_ref.shape[2]
+    Tq = idx_ref.shape[4]
     acc = jnp.zeros((Tq, out_ref.shape[3]), jnp.float32)
 
     for lvl, (H_l, W_l) in enumerate(shapes):
         HW = H_l * W_l
         v_l = value_ref[0, 0, starts[lvl]:starts[lvl] + HW, :]  # (HW, C)
-        x = loc_ref[0, 0, :, lvl, :, 0] * W_l - 0.5             # (Tq, P)
-        y = loc_ref[0, 0, :, lvl, :, 1] * H_l - 0.5
-        w = w_ref[0, 0, :, lvl, :]                              # (Tq, P)
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        wx = x - x0
-        wy = y - y0
-
         iota = jax.lax.broadcasted_iota(jnp.int32, (Tq, HW), 1)
-        coeff = jnp.zeros((Tq, HW), jnp.float32)
-        for p in range(P):
-            for (dy, dx, cw) in (
-                    (0, 0, (1 - wy) * (1 - wx)),
-                    (0, 1, (1 - wy) * wx),
-                    (1, 0, wy * (1 - wx)),
-                    (1, 1, wy * wx)):
-                yy = y0[:, p] + dy
-                xx = x0[:, p] + dx
-                valid = (xx >= 0) & (xx < W_l) & (yy >= 0) & (yy < H_l)
-                flat = (jnp.clip(yy, 0, H_l - 1).astype(jnp.int32) * W_l
-                        + jnp.clip(xx, 0, W_l - 1).astype(jnp.int32))
-                cwp = jnp.where(valid, cw[:, p] * w[:, p], 0.0)
-                # one-hot FMA: coeff[q, flat[q]] += cwp[q]
-                coeff = coeff + jnp.where(
-                    iota == flat[:, None], cwp[:, None], 0.0)
+
+        def body(j, coeff, lvl=lvl, iota=iota):
+            idx_j = idx_ref[0, 0, lvl, j, :]          # (Tq,) dynamic sublane
+            cw_j = cw_ref[0, 0, lvl, j, :]
+            return coeff + jnp.where(iota == idx_j[:, None],
+                                     cw_j[:, None], 0.0)
+
+        coeff = jax.lax.fori_loop(
+            0, 4 * P, body, jnp.zeros((Tq, HW), jnp.float32))
         acc = acc + jax.lax.dot(coeff, v_l.astype(jnp.float32),
                                 preferred_element_type=jnp.float32)
     out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
@@ -84,7 +73,7 @@ def _kernel(value_ref, loc_ref, w_ref, out_ref, *, shapes, starts, P):
 
 @functools.partial(jax.jit, static_argnums=(1, 4, 5))
 def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
-                          attention_weights, tile_q: int = 128,
+                          attention_weights, tile_q: int = 64,
                           interpret: bool = False):
     """Shapes as in ops/ms_deform_attn.py:
     value (B, Len_v, nH, C); sampling_locations (B, Lq, nH, L, P, 2) in
@@ -107,10 +96,37 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
         w = jnp.pad(w, ((0, 0), (0, pad_q), (0, 0), (0, 0), (0, 0)))
     Lq_p = Lq + pad_q
 
+    # precompute level-local flat corner indices + combined weights on the
+    # XLA side; the kernel then only does one-hot FMA + matmul
+    idx_lvls, cw_lvls = [], []
+    for lvl, (H_l, W_l) in enumerate(shapes):
+        x = loc[:, :, :, lvl, :, 0] * W_l - 0.5       # (B, Lq_p, nH, P)
+        y = loc[:, :, :, lvl, :, 1] * H_l - 0.5
+        wl = w[:, :, :, lvl]                          # (B, Lq_p, nH, P)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = x - x0
+        wy = y - y0
+        idx_c, cw_c = [], []
+        for dy, dx, cw_ in ((0, 0, (1 - wy) * (1 - wx)),
+                            (0, 1, (1 - wy) * wx),
+                            (1, 0, wy * (1 - wx)),
+                            (1, 1, wy * wx)):
+            yy = y0 + dy
+            xx = x0 + dx
+            valid = (xx >= 0) & (xx < W_l) & (yy >= 0) & (yy < H_l)
+            flat = (jnp.clip(yy, 0, H_l - 1).astype(jnp.int32) * W_l
+                    + jnp.clip(xx, 0, W_l - 1).astype(jnp.int32))
+            idx_c.append(flat)
+            cw_c.append(jnp.where(valid, cw_ * wl, 0.0))
+        # (B, Lq_p, nH, 4P) -> (B, nH, 4P, Lq_p)
+        idx_lvls.append(jnp.concatenate(idx_c, -1).transpose(0, 2, 3, 1))
+        cw_lvls.append(jnp.concatenate(cw_c, -1).transpose(0, 2, 3, 1))
+    idx = jnp.stack(idx_lvls, axis=2)                 # (B, nH, L, 4P, Lq_p)
+    cw = jnp.stack(cw_lvls, axis=2).astype(jnp.float32)
+
     # head-major value so each grid step sees one head's contiguous plane
-    value_h = value.transpose(0, 2, 1, 3)        # (B, nH, Len_v, C)
-    loc_h = loc.transpose(0, 2, 1, 3, 4, 5)      # (B, nH, Lq_p, L, P, 2)
-    w_h = w.transpose(0, 2, 1, 3, 4)             # (B, nH, Lq_p, L, P)
+    value_h = value.transpose(0, 2, 1, 3)             # (B, nH, Len_v, C)
 
     kernel = functools.partial(_kernel, shapes=shapes, starts=starts, P=P)
     out = pl.pallas_call(
@@ -119,17 +135,18 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
         in_specs=[
             pl.BlockSpec((1, 1, Len_v, C), lambda b, h, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tq, L, P, 2), lambda b, h, t: (b, h, t, 0,
-                                                               0, 0),
+            pl.BlockSpec((1, 1, L, 4 * P, Tq),
+                         lambda b, h, t: (b, h, 0, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tq, L, P), lambda b, h, t: (b, h, t, 0, 0),
+            pl.BlockSpec((1, 1, L, 4 * P, Tq),
+                         lambda b, h, t: (b, h, 0, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, Tq, C), lambda b, h, t: (b, h, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nH, Lq_p, C), value.dtype),
         interpret=interpret,
-    )(value_h, loc_h, w_h)
+    )(value_h, idx, cw)
 
     out = out.transpose(0, 2, 1, 3).reshape(B, Lq_p, nH * C)
     return out[:, :Lq]

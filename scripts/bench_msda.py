@@ -48,9 +48,11 @@ def main():
         w = jax.nn.softmax(
             jnp.asarray(rng.randn(B, Lq, nH, L, P), jnp.float32)
             .reshape(B, Lq, nH, -1), -1).reshape(B, Lq, nH, L, P)
-        for impl in ("fast", "pallas", "lax"):
-            if impl in ("lax",) and site == "encoder":
-                continue  # 4-index gather at 8.5k x 8.5k: minutes/call
+        for impl in ("block", "pallas", "fast", "lax"):
+            if impl in ("lax", "fast") and site == "encoder":
+                continue  # fast already measured at 463 ms; lax worse
+            if impl == "pallas" and site == "encoder":
+                continue  # quadratic in Lq by design
             fn = jax.jit(lambda v, i=impl, l=loc, a=w: (
                 ms_deform_attn(v, shapes, l, a, impl=i)
                 .sum(axis=(1, 2), keepdims=False)[:, None, None, None]

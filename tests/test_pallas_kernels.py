@@ -76,3 +76,27 @@ def test_ms_deform_attn_pallas_grad_parity():
     g_pal = jax.grad(loss("pallas"), argnums=(0, 1, 2))(value, loc, w)
     for a, b in zip(g_ref, g_pal):
         assert float(jnp.abs(a - b).max()) < 1e-4
+
+
+def test_ms_deform_attn_block_parity_and_grad():
+    from aloception_tpu.ops.ms_deform_attn import (ms_deform_attn,
+                                                   ms_deform_attn_lax)
+    # includes a degenerate (1, 3) level to exercise the gather fallback
+    rng = np.random.RandomState(2)
+    B, nH, C, P = 2, 4, 16, 4
+    shapes = ((12, 16), (6, 8), (3, 4), (1, 3))
+    Len_v = sum(h * w for h, w in shapes)
+    Lq = 33
+    value = jnp.asarray(rng.randn(B, Len_v, nH, C), jnp.float32)
+    loc = jnp.asarray(rng.rand(B, Lq, nH, 4, P, 2) * 1.4 - 0.2, jnp.float32)
+    w = jax.nn.softmax(jnp.asarray(
+        rng.randn(B, Lq, nH, 4, P), jnp.float32).reshape(B, Lq, nH, -1),
+        -1).reshape(B, Lq, nH, 4, P)
+    want = ms_deform_attn_lax(value, shapes, loc, w)
+    got = ms_deform_attn(value, shapes, loc, w, impl="block")
+    assert float(jnp.abs(got - want).max()) < 1e-5
+    g1 = jax.grad(lambda v: jnp.sum(
+        ms_deform_attn_lax(v, shapes, loc, w) ** 2))(value)
+    g2 = jax.grad(lambda v: jnp.sum(
+        ms_deform_attn(v, shapes, loc, w, impl="block") ** 2))(value)
+    assert float(jnp.abs(g1 - g2).max()) < 1e-4
