@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.correlation import (corr_volume, corr_pyramid,
-                                corr_lookup, corr_lookup_block)
+                                corr_lookup, corr_lookup_onehot)
 from ...ops.warp import coords_grid
 from .extractor import BasicEncoder, SmallEncoder
 from .update import BasicUpdateBlock, SmallUpdateBlock
@@ -59,7 +59,10 @@ def convex_upsample(flow, mask):
     taps = jnp.stack([fp[:, dy:dy + H, dx:dx + W, :]
                       for dy in range(3) for dx in range(3)], axis=-2)
     # taps: (B, H, W, 9, 2)
-    up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", m, taps)
+    # precision=HIGHEST: default f32 einsum runs bf16 passes on this backend;
+    # 9-tap contraction, exactness is free and the flow output is the metric.
+    up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", m, taps,
+                    precision=jax.lax.Precision.HIGHEST)
     return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * H, 8 * W, 2)
 
 
@@ -111,9 +114,11 @@ class RAFTBase(nn.Module):
         def body(mdl, carry, _):
             net, coords1 = carry
             coords1 = jax.lax.stop_gradient(coords1)  # detach (raft.py:184)
-            # block-gather lookup: 1.76x faster than element gathers on TPU
-            corr = corr_lookup_block(pyramid, coords1,
-                                     radius=self.corr_radius)
+            # gather-free one-hot lookup: ~20x faster than the block
+            # dynamic-slice variant on TPU (0.6 vs 12.2 ms/call at 368x496
+            # B=2) and its einsum VJP is scatter-free for training
+            corr = corr_lookup_onehot(pyramid, coords1,
+                                      radius=self.corr_radius)
             flow = coords1 - coords0
             net, mask, delta = Update(
                 corr_channels=corr_ch, hidden_dim=hdim, dtype=self.dtype,

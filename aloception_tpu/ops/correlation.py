@@ -25,8 +25,13 @@ def corr_volume(fmap1, fmap2):
     B, H, W, C = fmap1.shape
     f1 = fmap1.reshape(B, H * W, C)
     f2 = fmap2.reshape(B, H * W, C)
+    # precision=HIGHEST: default f32 einsum runs bf16 passes on this backend;
+    # the torch reference computes the volume in exact f32 and the EPE-parity
+    # tests depend on it. Cost is sub-ms at RAFT scales (bf16 feature inputs
+    # should be cast by the caller when speed matters more than parity).
     corr = jnp.einsum("bnc,bmc->bnm", f1, f2,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     return (corr / jnp.sqrt(jnp.float32(C))).reshape(B, H * W, H, W)
 
 
@@ -160,6 +165,55 @@ def corr_lookup_rows(pyramid: List[jnp.ndarray], coords, radius: int = 4):
     return jnp.concatenate(outs, axis=-1)
 
 
+def corr_lookup_onehot(pyramid: List[jnp.ndarray], coords, radius: int = 4):
+    """Gather-FREE corr lookup: bilinear window sampling as two batched
+    matmuls against one-hot interpolation matrices over the FULL level row.
+
+    out[q, j, i] = sum_{y,x} Wy[q,i,y] * vol[q,y,x] * Wx[q,j,x]
+    where Wy/Wx each have two nonzeros per row (the bilinear corners, with
+    border-validity zeroing). No gather/dynamic_slice appears anywhere —
+    everything is iota-compare (VPU) + dot_general (MXU), the ops the TPU
+    is actually fast at. Numerically identical to corr_lookup.
+    """
+    B, N, H, W = pyramid[0].shape
+    r = radius
+    d = 2 * r + 1
+    i_ids = jnp.arange(d, dtype=jnp.float32)
+
+    outs = []
+    for lvl, c in enumerate(pyramid):
+        Hl, Wl = c.shape[2], c.shape[3]
+        centroid = coords.reshape(B, N, 2) / (2 ** lvl)
+        cx, cy = centroid[..., 0], centroid[..., 1]
+
+        def onehot_interp(cv, L):
+            """(B, N) centers -> (B, N, d, L) bilinear one-hot matrix."""
+            v0 = jnp.floor(cv[..., None] - r) + i_ids          # (B, N, d)
+            w = (cv[..., None] - r + i_ids) - v0               # frac
+            ids = jnp.arange(L, dtype=jnp.float32)
+            eq0 = (v0[..., None] == ids).astype(c.dtype)       # (B, N, d, L)
+            eq1 = (v0[..., None] + 1 == ids).astype(c.dtype)
+            valid0 = (v0 >= 0) & (v0 < L)
+            valid1 = (v0 + 1 >= 0) & (v0 + 1 < L)
+            return eq0 * jnp.where(valid0, 1 - w, 0.0)[..., None] \
+                + eq1 * jnp.where(valid1, w, 0.0)[..., None]
+
+        Wy = onehot_interp(cy, Hl)                             # (B, N, d, Hl)
+        Wx = onehot_interp(cx, Wl)                             # (B, N, d, Wl)
+        # (B,N,d,Hl) @ (B,N,Hl,Wl) @ (B,N,Wl,d) -> x-outer (j) channel order.
+        # precision=HIGHEST: the default f32 matmul runs bf16 passes on both
+        # TPU and this CPU backend (measured 0.4% rel error); these one-hot
+        # contractions are tiny so exactness is free.
+        t = jnp.einsum("bniy,bnyx->bnix", Wy, c,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        sampled = jnp.einsum("bnix,bnjx->bnji", t, Wx,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+        outs.append(sampled.reshape(B, H, W, d * d))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def corr_lookup_block(pyramid: List[jnp.ndarray], coords, radius: int = 4):
     """Block-gather corr lookup: ONE 2-D dynamic slice per (query, level).
 
@@ -253,8 +307,12 @@ def corr_lookup_block(pyramid: List[jnp.ndarray], coords, radius: int = 4):
             + ex1 * jnp.where(v_x1, wx, 0.0)[..., None]
 
         # output channel order (x-outer, y-inner): out[.., j, i] where j is
-        # the x window index — matches the reference (see corr_lookup doc)
-        sampled = jnp.einsum("bnir,bnrs,bnjs->bnji", Wy, window, Wx)
+        # the x window index — matches the reference (see corr_lookup doc).
+        # precision=HIGHEST: default f32 einsum runs bf16 passes here
+        # (measured 0.4% rel error vs the gather path); exactness is free at
+        # this size.
+        sampled = jnp.einsum("bnir,bnrs,bnjs->bnji", Wy, window, Wx,
+                             precision=jax.lax.Precision.HIGHEST)
         outs.append(sampled.reshape(B, H, W, d * d))
     return jnp.concatenate(outs, axis=-1)
 

@@ -209,10 +209,13 @@ def ms_deform_attn_block(value, value_spatial_shapes, sampling_locations,
         # (B, Lq, nH, P, 2) -> (B, nH, Lq, P, 2)
         ab = jnp.stack([a0, a1], -1).transpose(0, 2, 1, 3, 4)
         bb = jnp.stack([b0, b1], -1).transpose(0, 2, 1, 3, 4)
+        # precision=HIGHEST: default f32 einsum runs bf16 passes on this
+        # backend; the contraction is 2x2 so exactness is free.
         sampled = jnp.einsum("bhqpr,bhqprsc,bhqps->bhqpc",
                              ab.astype(jnp.float32),
                              blocks.astype(jnp.float32),
-                             bb.astype(jnp.float32))
+                             bb.astype(jnp.float32),
+                             precision=jax.lax.Precision.HIGHEST)
         contrib = (sampled * w.transpose(0, 2, 1, 3)[..., None]).sum(3)
         out = out + contrib.transpose(0, 2, 1, 3)      # (B, Lq, nH, C)
     return out.reshape(B, Lq, nH * C).astype(value.dtype)

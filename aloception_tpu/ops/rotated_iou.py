@@ -133,8 +133,12 @@ def smallest_enclosing_box(corners1, corners2):
     dirs = edges / (norm + _EPS)
     perp = jnp.stack([-dirs[..., 1], dirs[..., 0]], axis=-1)
     # project points on each direction: (..., 8 dirs, 8 pts)
-    proj_u = jnp.einsum("...dc,...pc->...dp", dirs, pts)
-    proj_v = jnp.einsum("...dc,...pc->...dp", perp, pts)
+    # precision=HIGHEST: default f32 einsum runs bf16 passes on this backend
+    # — geometric projections need true f32 (2-dim contraction, free).
+    proj_u = jnp.einsum("...dc,...pc->...dp", dirs, pts,
+                        precision=jax.lax.Precision.HIGHEST)
+    proj_v = jnp.einsum("...dc,...pc->...dp", perp, pts,
+                        precision=jax.lax.Precision.HIGHEST)
     ext_u = proj_u.max(axis=-1) - proj_u.min(axis=-1)
     ext_v = proj_v.max(axis=-1) - proj_v.min(axis=-1)
     areas = ext_u * ext_v

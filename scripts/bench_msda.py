@@ -51,8 +51,6 @@ def main():
         for impl in ("block", "pallas", "fast", "lax"):
             if impl in ("lax", "fast") and site == "encoder":
                 continue  # fast already measured at 463 ms; lax worse
-            if impl == "pallas" and site == "encoder":
-                continue  # quadratic in Lq by design
             fn = jax.jit(lambda v, i=impl, l=loc, a=w: (
                 ms_deform_attn(v, shapes, l, a, impl=i)
                 .sum(axis=(1, 2), keepdims=False)[:, None, None, None]

@@ -40,6 +40,7 @@ def main():
     from aloception_tpu.models.raft.extractor import BasicEncoder
     from aloception_tpu.ops.correlation import (corr_volume, corr_pyramid,
                                                 corr_lookup_block,
+                                                corr_lookup_onehot,
                                                 corr_lookup)
     from aloception_tpu.ops.warp import coords_grid
 
@@ -75,7 +76,8 @@ def main():
     pyr = [jnp.asarray(p) for p in corr_pyramid(corr_volume(m1, m2), 4)]
     c0 = jnp.broadcast_to(coords_grid(H8, W8)[None], (B, H8, W8, 2))
 
-    for name, fn in (("block", corr_lookup_block), ("elem", corr_lookup)):
+    for name, fn in (("block", corr_lookup_block), ("elem", corr_lookup),
+                     ("onehot", corr_lookup_onehot)):
         def look(x, fn=fn):
             out = fn(pyr, x, radius=4)
             return x + (jnp.mean(out) * 1e-9).astype(x.dtype) \
