@@ -29,9 +29,9 @@ def __getattr__(name):
     if name.startswith("Kitti"):
         from . import kitti
         return getattr(kitti, name)
-    if name == "WooDScapeDataset":
-        from .woodscape import WooDScapeDataset
-        return WooDScapeDataset
+    if name in ("WooDScapeDataset", "WooDScapeSplitDataset"):
+        from . import woodscape
+        return getattr(woodscape, name)
     if name in ("FlyingThings3DSubsetDataset", "ChairsSDHomDataset"):
         from . import flying_things
         return getattr(flying_things, name)

@@ -1,14 +1,21 @@
 """CrowdHuman person detection (reference: alodataset/crowd_human_dataset.py:19).
 
-Layout: <dir>/Images/*.jpg + annotation_{train,val}.odgt (one JSON per line:
-{"ID", "gtboxes": [{"tag", "fbox"|"vbox"|"hbox": [x, y, w, h], ...}]}).
+Layout: <dir>/CrowdHuman_{train,val}/Images/*.jpg +
+annotation_{train,val}.odgt (one JSON record per line:
+{"ID", "gtboxes": [{"tag", "fbox"/"vbox"/"hbox": [x, y, w, h],
+"extra": {"ignore": 0|1}, ...}]}).
+
+Like the reference, every requested box type (full / visible / head) is
+attached to the Frame as a separately-named boxes2d child, annotations
+tagged "mask" or extra.ignore!=0 are dropped, and ``boxes_limit`` keeps only
+the N widest boxes (crowd_human_dataset.py:100-165).
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -20,19 +27,39 @@ from .mixins import SplitMixin
 class CrowdHumanDataset(SplitMixin, BaseDataset):
 
     SPLIT_FOLDERS = {Split.TRAIN: "CrowdHuman_train",
-                     Split.VAL: "CrowdHuman_val"}
+                     Split.VAL: "CrowdHuman_val",
+                     Split.TEST: "CrowdHuman_test"}
     CLASSES = ("person",)
 
     def __init__(self, split: Split = Split.TRAIN, box_key: str = "fbox",
+                 bbox_types: Optional[Sequence[str]] = None,
+                 boxes_limit: Optional[int] = None,
                  sample: bool = False, **kwargs):
+        """``box_key`` names the PRIMARY box child (attached as `boxes2d`);
+        ``bbox_types`` optionally attaches more types under their own names
+        (reference bbox_types loop, crowd_human_dataset.py:150-163);
+        ``boxes_limit`` keeps the N widest boxes per image."""
         self.split = split
         self.box_key = box_key
+        self.bbox_types = tuple(bbox_types or (box_key,))
+        if box_key not in self.bbox_types:
+            self.bbox_types = (box_key,) + tuple(self.bbox_types)
+        self.boxes_limit = boxes_limit
         super().__init__(name="CrowdHuman", sample=sample, **kwargs)
         if sample:
             self.items = list(range(6))
             return
         folder = os.path.join(self.dataset_dir, self.get_split_folder())
         self.img_folder = os.path.join(folder, "Images")
+        if split == Split.TEST:
+            # test split ships images only (crowd_human_dataset.py:41-50)
+            test_dir = os.path.join(folder, "images_test")
+            if os.path.isdir(test_dir):
+                self.img_folder = test_dir
+            self.items = [{"ID": os.path.splitext(f)[0]}
+                          for f in sorted(os.listdir(self.img_folder))
+                          if f.lower().endswith((".jpg", ".jpeg", ".png"))]
+            return
         ann_name = "annotation_train.odgt" if split == Split.TRAIN \
             else "annotation_val.odgt"
         ann_file = os.path.join(self.dataset_dir, ann_name)
@@ -40,9 +67,14 @@ class CrowdHumanDataset(SplitMixin, BaseDataset):
         with open(ann_file) as f:
             for line in f:
                 rec = json.loads(line)
-                boxes = [g[self.box_key] for g in rec.get("gtboxes", [])
-                         if g.get("tag") == "person" and self.box_key in g]
-                self.items.append({"ID": rec["ID"], "boxes": boxes})
+                kept = []
+                for g in rec.get("gtboxes", []):
+                    if g.get("tag") != "person":
+                        continue  # "mask" regions -> ignored (load_gt tag=-1)
+                    if g.get("extra", {}).get("ignore", 0) != 0:
+                        continue
+                    kept.append({bt: g.get(bt) for bt in self.bbox_types})
+                self.items.append({"ID": rec["ID"], "gt": kept})
 
     def _getitem_sample(self, idx: int) -> Frame:
         rng = np.random.RandomState(6000 + idx)
@@ -56,19 +88,39 @@ class CrowdHumanDataset(SplitMixin, BaseDataset):
             labels=Labels(np.zeros(n, np.float32), labels_names=self.CLASSES)))
         return frame
 
+    def _to_rel_xcyc(self, raw: List, H: int, W: int) -> np.ndarray:
+        boxes = []
+        for b in raw:
+            if b is None:
+                boxes.append([0.0, 0.0, 0.0, 0.0])
+                continue
+            x, y, w, h = b
+            boxes.append([(x + w / 2) / W, (y + h / 2) / H, w / W, h / H])
+        return np.asarray(boxes, np.float32).reshape(-1, 4)
+
     def getitem(self, idx: int) -> Frame:
         if self.sample:
             return self._getitem_sample(idx)
         rec = self.items[idx]
         frame = Frame(os.path.join(self.img_folder, rec["ID"] + ".jpg"))
+        if self.split == Split.TEST:
+            return frame
         H, W = frame.HW
-        boxes = []
-        for x, y, w, h in rec["boxes"]:
-            if w <= 0 or h <= 0:
-                continue
-            boxes.append([(x + w / 2) / W, (y + h / 2) / H, w / W, h / H])
-        frame.append_boxes2d(BoundingBoxes2D(
-            np.asarray(boxes, np.float32).reshape(-1, 4), "xcyc", False,
-            labels=Labels(np.zeros(len(boxes), np.float32),
-                          labels_names=self.CLASSES)))
+        gt = rec["gt"]
+        keep = np.arange(len(gt))
+        if self.boxes_limit is not None and len(gt) > self.boxes_limit:
+            # keep the N widest (by primary-box area, reference :161)
+            primary = self._to_rel_xcyc([g[self.box_key] for g in gt], H, W)
+            areas = primary[:, 2] * primary[:, 3]
+            keep = np.argsort(-areas)[:self.boxes_limit]
+        labels = Labels(np.zeros(len(keep), np.float32),
+                        labels_names=self.CLASSES)
+        # a child slot holds either ONE unnamed value or a dict of named
+        # values — with several box types, attach every type under its name
+        # (reference: frame.append_boxes2d(boxes, bbox_type), :163)
+        named = len(self.bbox_types) > 1
+        for bt in self.bbox_types:
+            arr = self._to_rel_xcyc([gt[i][bt] for i in keep], H, W)
+            child = BoundingBoxes2D(arr, "xcyc", False, labels=labels)
+            frame.append_boxes2d(child, name=bt if named else None)
         return frame

@@ -26,10 +26,23 @@ class Mot17(SequenceMixin, SplitMixin, BaseDataset):
                      Split.TEST: "test"}
 
     def __init__(self, split: Split = Split.TRAIN, sequence_size: int = 2,
-                 detections_set: str = "FRCNN", sample: bool = False,
-                 validation_sequences: Optional[List[str]] = None, **kwargs):
+                 detections_set="FRCNN", sample: bool = False,
+                 validation_sequences: Optional[List[str]] = None,
+                 training_sequences: Optional[List[str]] = None,
+                 visibility_threshold: float = 0.0,
+                 random_step: Optional[int] = None, **kwargs):
+        """Mirrors the reference knobs (mot17.py:51-62): ``detections_set``
+        is one of / a list of {DPM, SDP, FRCNN}; ``visibility_threshold``
+        drops mostly-occluded boxes; ``random_step`` samples the temporal
+        stride of each sequence window in [1, random_step] per epoch item;
+        ``training_sequences`` / ``validation_sequences`` filter by MOT17-XX
+        name."""
         self.split = split
+        if isinstance(detections_set, str):
+            detections_set = [detections_set]
         self.detections_set = detections_set
+        self.visibility_threshold = visibility_threshold
+        self.random_step = random_step
         super().__init__(name="mot17", sample=sample,
                          sequence_size=sequence_size, **kwargs)
         if sample:
@@ -38,17 +51,22 @@ class Mot17(SequenceMixin, SplitMixin, BaseDataset):
         self.mot_folder = os.path.join(self.dataset_dir,
                                        self.get_split_folder())
         self.items = []
+        self.seq_len: Dict[str, int] = {}
         self.gt: Dict[str, Dict[int, List]] = {}
         for seq in sorted(os.listdir(self.mot_folder)):
-            if detections_set not in seq:
+            if not any(d in seq for d in detections_set):
                 continue
             if validation_sequences is not None:
-                in_val = seq in validation_sequences
+                in_val = any(v in seq for v in validation_sequences)
                 if (split == Split.VAL) != in_val:
                     continue
+            if training_sequences is not None and split == Split.TRAIN \
+                    and not any(t in seq for t in training_sequences):
+                continue
             info = configparser.ConfigParser()
             info.read(os.path.join(self.mot_folder, seq, "seqinfo.ini"))
             n = int(info["Sequence"]["seqLength"])
+            self.seq_len[seq] = n
             gt_path = os.path.join(self.mot_folder, seq, "gt", "gt.txt")
             per_frame = defaultdict(list)
             if os.path.exists(gt_path):
@@ -58,7 +76,8 @@ class Mot17(SequenceMixin, SplitMixin, BaseDataset):
                         frame_id, track = int(p[0]), int(p[1])
                         x, y, w, h = map(float, p[2:6])
                         conf = float(p[6])
-                        if conf == 0:
+                        vis = float(p[8]) if len(p) > 8 else 1.0
+                        if conf == 0 or vis < self.visibility_threshold:
                             continue
                         per_frame[frame_id].append((track, x, y, w, h))
             self.gt[seq] = per_frame
@@ -98,6 +117,15 @@ class Mot17(SequenceMixin, SplitMixin, BaseDataset):
         if self.sample:
             return self._getitem_sample(idx)
         seq, frame_ids = self.items[idx]
+        if self.random_step is not None and self.sequence_size > 1:
+            # re-stride the window with a random temporal step
+            # (reference mot17.py random_step)
+            step = np.random.randint(1, self.random_step + 1)
+            start = frame_ids[0]
+            last = self.seq_len.get(seq, frame_ids[-1])
+            if start + (self.sequence_size - 1) * step > last:
+                step = max(1, (last - start) // max(1, self.sequence_size - 1))
+            frame_ids = [start + k * step for k in range(self.sequence_size)]
         return _cat_batched(
             [self._frame_with_gt(seq, fid).temporal() for fid in frame_ids],
             axis_name="T")

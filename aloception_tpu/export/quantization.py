@@ -69,8 +69,11 @@ class DataBatchStreamer:
         self.prepare = prepare
 
     def __iter__(self) -> Iterator:
-        loader = self.dataset.train_loader(batch_size=self.batch_size,
-                                           num_workers=0, shuffle=False)
+        if hasattr(self.dataset, "train_loader"):
+            loader = self.dataset.train_loader(batch_size=self.batch_size,
+                                               num_workers=0, shuffle=False)
+        else:  # plain iterable of ready-made batches
+            loader = iter(self.dataset)
         for i, batch in enumerate(loader):
             if i >= self.max_batches:
                 break
