@@ -35,7 +35,7 @@ def __getattr__(name):
     if name == "OrientedBoxes2D":
         from .oriented_boxes_2d import OrientedBoxes2D
         return OrientedBoxes2D
-    if name == "render":
-        from .renderer import render
-        return render
+    if name in ("render", "render_save"):
+        from . import renderer
+        return getattr(renderer, name)
     raise AttributeError(name)

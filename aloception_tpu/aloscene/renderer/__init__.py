@@ -1,1 +1,2 @@
-from .renderer import View, Renderer, render, put_adaptive_cv2_text  # noqa: F401
+from .renderer import (View, Renderer, render, render_save,  # noqa: F401
+                       put_adaptive_cv2_text)

@@ -93,9 +93,21 @@ class Renderer:
         self._path = None
 
     @staticmethod
+    def _title_banner(img: np.ndarray, title: str) -> np.ndarray:
+        """Dark banner strip above a cell carrying its title
+        (reference add_title, renderer.py:251 — titles get their own strip
+        instead of overwriting image pixels)."""
+        bh = max(18, img.shape[0] // 12)
+        banner = np.full((bh, img.shape[1], 3), 0.15, np.float32)
+        put_adaptive_cv2_text(banner, title, 8, int(bh * 0.75),
+                              color=(1.0, 1.0, 1.0))
+        return np.concatenate([banner, img], axis=0)
+
+    @staticmethod
     def get_grid_view(views: Sequence[View], cell_grid_size=None,
-                      grid_size=None) -> np.ndarray:
-        """Composite views into a square-ish grid (renderer.py:203)."""
+                      grid_size=None, add_title: bool = True) -> np.ndarray:
+        """Composite views into a square-ish grid (renderer.py:203). Titles
+        are drawn as banner strips above each cell when add_title."""
         views = list(views)
         n = len(views)
         assert n >= 1
@@ -105,20 +117,52 @@ class Renderer:
             cell_grid_size = views[0].image.shape[:2]
         ch, cw = cell_grid_size
         import cv2
-        grid = np.zeros((rows * ch, cols * cw, 3), np.float32)
+        bh = max(18, ch // 12) if add_title else 0
+        grid = np.zeros((rows * (ch + bh), cols * cw, 3), np.float32)
         for i, v in enumerate(views):
             r, c = divmod(i, cols)
             img = cv2.resize(v.image, (cw, ch))
-            if v.title:
-                put_adaptive_cv2_text(img, v.title, 10, 25)
-            grid[r * ch:(r + 1) * ch, c * cw:(c + 1) * cw] = img
+            if add_title:
+                img = Renderer._title_banner(img, v.title or "")
+            grid[r * (ch + bh):(r + 1) * (ch + bh),
+                 c * cw:(c + 1) * cw] = img
+        return grid
+
+    @classmethod
+    def get_user_defined_grid_view(cls, views, add_title: bool = True
+                                   ) -> np.ndarray:
+        """Composite a NESTED list of views into exactly that layout
+        (renderer.py:278): ``views`` is a list of rows, each a list of View.
+        Cells are resized to the first view's size; short rows are padded
+        with black cells."""
+        import cv2
+        rows = [list(r) for r in views]
+        first = rows[0][0]
+        ch, cw = first.image.shape[:2]
+        bh = max(18, ch // 12) if add_title else 0
+        ncols = max(len(r) for r in rows)
+        grid = np.zeros((len(rows) * (ch + bh), ncols * cw, 3), np.float32)
+        for r, row in enumerate(rows):
+            for c, v in enumerate(row):
+                img = cv2.resize(v.image, (cw, ch))
+                if add_title:
+                    img = cls._title_banner(img, v.title or "")
+                grid[r * (ch + bh):(r + 1) * (ch + bh),
+                     c * cw:(c + 1) * cw] = img
         return grid
 
     def render(self, views: Sequence[View], renderer: str = "cv",
                cell_grid_size=None, record_file: Optional[str] = None,
-               fps: int = 30, grid_size=None, skip_views: bool = False):
-        """(renderer.py:311) display a grid and/or append to an mp4."""
-        grid = self.get_grid_view(views, cell_grid_size, grid_size)
+               fps: int = 30, grid_size=None, skip_views: bool = False,
+               add_title: bool = True):
+        """(renderer.py:311) display a grid and/or append to an mp4.
+        ``views`` may be a flat list (auto grid) or a nested list of rows
+        (user-defined layout, renderer.py:278)."""
+        if views and isinstance(views[0], (list, tuple)):
+            grid = self.get_user_defined_grid_view(views, add_title)
+        else:
+            grid = self.get_grid_view(views, cell_grid_size, grid_size,
+                                      add_title)
         if record_file is not None:
             import cv2
             if self._writer is None:
@@ -141,10 +185,30 @@ class Renderer:
         return self._path
 
 
+_module_renderer: Optional[Renderer] = None
+
+
 def render(views: Sequence[View], renderer: str = "cv", size=None,
            record_file: Optional[str] = None, fps=30, grid_size=None,
            skip_views=False):
-    """Module-level convenience (aloscene/__init__.py:33)."""
-    return Renderer().render(views, renderer=renderer, cell_grid_size=size,
-                             record_file=record_file, fps=fps,
-                             grid_size=grid_size, skip_views=skip_views)
+    """Module-level convenience (aloscene/__init__.py:33). Keeps ONE
+    persistent Renderer so repeated calls append to the same mp4 recording
+    (the reference's module singleton); call aloscene.render_save() (or
+    the returned renderer's .save()) to finalize."""
+    global _module_renderer
+    if _module_renderer is None:
+        _module_renderer = Renderer()
+    return _module_renderer.render(views, renderer=renderer,
+                                   cell_grid_size=size,
+                                   record_file=record_file, fps=fps,
+                                   grid_size=grid_size, skip_views=skip_views)
+
+
+def render_save():
+    """Finalize the module-level recording, returning the mp4 path."""
+    global _module_renderer
+    if _module_renderer is None:
+        return None
+    path = _module_renderer.save()
+    _module_renderer = None
+    return path

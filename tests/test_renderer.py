@@ -62,3 +62,35 @@ def test_flow_depth_mask_views():
     mask_v = Mask(m, labels=Labels(np.array([1.0, 2.0]))).get_view()
     assert mask_v.image.shape == (32, 32, 3)
     assert mask_v.image.max() > 0
+
+
+def test_grid_title_banners_and_user_defined_layout():
+    from aloception_tpu.aloscene.renderer import Renderer, View
+    views = [View(np.random.rand(40, 60, 3), title=f"v{i}") for i in range(3)]
+    grid = Renderer.get_grid_view(views, add_title=True)
+    bh = max(18, 40 // 12)
+    assert grid.shape == (2 * (40 + bh), 2 * 60, 3)
+    # banner strip exists (dark row at the top of each cell)
+    assert grid[0].mean() < 0.5
+    plain = Renderer.get_grid_view(views, add_title=False)
+    assert plain.shape == (2 * 40, 2 * 60, 3)
+
+    # nested rows define the exact layout
+    custom = Renderer.get_user_defined_grid_view(
+        [[views[0], views[1]], [views[2]]], add_title=False)
+    assert custom.shape == (2 * 40, 2 * 60, 3)
+    # bottom-right cell is the black pad
+    assert custom[40:, 60:].sum() == 0.0
+
+
+def test_module_render_persistent_recording(tmp_path):
+    import aloception_tpu.aloscene as aloscene
+    from aloception_tpu.aloscene.renderer import View
+    mp4 = str(tmp_path / "rec.mp4")
+    for _ in range(3):  # separate calls must append to ONE file
+        aloscene.render([View(np.random.rand(32, 32, 3))], renderer="record",
+                        record_file=mp4, fps=5)
+    path = aloscene.render_save()
+    assert path == mp4
+    import os
+    assert os.path.getsize(mp4) > 0
