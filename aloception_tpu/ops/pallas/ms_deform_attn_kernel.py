@@ -42,30 +42,31 @@ def _kernel(value_ref, idx_ref, cw_ref, out_ref, *, shapes, starts, P):
     (batch, head) selected by the index map.
 
     value_ref: (1, 1, Len_v, C) one head's flattened levels
-    idx_ref:   (1, 1, L, 4P, Tq) int32 flat corner indices (level-local)
-    cw_ref:    (1, 1, L, 4P, Tq) f32 corner weights (0 where OOB)
+    idx_ref:   (1, 1, L, Tq, 4P) int32 flat corner indices (level-local)
+               — Tq on the SUBLANE axis (div-8), 4P on the lane axis (full
+               dim): the only layout Pallas accepts for a Tq-tiled block
+    cw_ref:    (1, 1, L, Tq, 4P) f32 corner weights (0 where OOB)
     out_ref:   (1, 1, Tq, C)
 
-    The (point, corner) one-hot passes run as a fori_loop so the compiler
-    materializes ONE coefficient plane, not 4P*L of them (a fully unrolled
-    variant OOM-killed the TPU compiler).
+    The (point, corner) one-hot passes are a STATIC python unroll with
+    static lane slices — Mosaic has no dynamic lane indexing (fori_loop +
+    dynamic_slice fails to lower); the rolling `coeff = coeff + ...` chain
+    still keeps one live coefficient plane.
     """
-    Tq = idx_ref.shape[4]
+    Tq = idx_ref.shape[3]
     acc = jnp.zeros((Tq, out_ref.shape[3]), jnp.float32)
 
     for lvl, (H_l, W_l) in enumerate(shapes):
         HW = H_l * W_l
         v_l = value_ref[0, 0, starts[lvl]:starts[lvl] + HW, :]  # (HW, C)
         iota = jax.lax.broadcasted_iota(jnp.int32, (Tq, HW), 1)
+        tile_idx = idx_ref[0, 0, lvl]                 # (Tq, 4P)
+        tile_cw = cw_ref[0, 0, lvl]
 
-        def body(j, coeff, lvl=lvl, iota=iota):
-            idx_j = idx_ref[0, 0, lvl, j, :]          # (Tq,) dynamic sublane
-            cw_j = cw_ref[0, 0, lvl, j, :]
-            return coeff + jnp.where(iota == idx_j[:, None],
-                                     cw_j[:, None], 0.0)
-
-        coeff = jax.lax.fori_loop(
-            0, 4 * P, body, jnp.zeros((Tq, HW), jnp.float32))
+        coeff = jnp.zeros((Tq, HW), jnp.float32)
+        for j in range(4 * P):
+            coeff = coeff + jnp.where(iota == tile_idx[:, j:j + 1],
+                                      tile_cw[:, j:j + 1], 0.0)
         acc = acc + jax.lax.dot(coeff, v_l.astype(jnp.float32),
                                 preferred_element_type=jnp.float32)
     out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
@@ -119,10 +120,10 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
                     + jnp.clip(xx, 0, W_l - 1).astype(jnp.int32))
             idx_c.append(flat)
             cw_c.append(jnp.where(valid, cw_ * wl, 0.0))
-        # (B, Lq_p, nH, 4P) -> (B, nH, 4P, Lq_p)
-        idx_lvls.append(jnp.concatenate(idx_c, -1).transpose(0, 2, 3, 1))
-        cw_lvls.append(jnp.concatenate(cw_c, -1).transpose(0, 2, 3, 1))
-    idx = jnp.stack(idx_lvls, axis=2)                 # (B, nH, L, 4P, Lq_p)
+        # (B, Lq_p, nH, 4P) -> (B, nH, Lq_p, 4P)
+        idx_lvls.append(jnp.concatenate(idx_c, -1).transpose(0, 2, 1, 3))
+        cw_lvls.append(jnp.concatenate(cw_c, -1).transpose(0, 2, 1, 3))
+    idx = jnp.stack(idx_lvls, axis=2)                 # (B, nH, L, Lq_p, 4P)
     cw = jnp.stack(cw_lvls, axis=2).astype(jnp.float32)
 
     # head-major value so each grid step sees one head's contiguous plane
@@ -135,11 +136,11 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
         in_specs=[
             pl.BlockSpec((1, 1, Len_v, C), lambda b, h, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L, 4 * P, Tq),
-                         lambda b, h, t: (b, h, 0, 0, t),
+            pl.BlockSpec((1, 1, L, Tq, 4 * P),
+                         lambda b, h, t: (b, h, 0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L, 4 * P, Tq),
-                         lambda b, h, t: (b, h, 0, 0, t),
+            pl.BlockSpec((1, 1, L, Tq, 4 * P),
+                         lambda b, h, t: (b, h, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, Tq, C), lambda b, h, t: (b, h, t, 0),
