@@ -239,16 +239,15 @@ def _msda_pallas_fwd(shapes, value, loc, w):
 
 
 def _msda_pallas_bwd(shapes, res, g):
-    # backward through the (numerically identical) XLA block formulation —
-    # the Pallas kernel is forward-only, mirroring the reference's split
-    # between the CUDA forward and its dedicated backward
-    # (ms_deform_attn_cuda.cu:81). 'block' is the fastest XLA graph on TPU
-    # (2.3x 'fast' at encoder shapes), and the recompute-forward it pays is
-    # the price of not materializing the one-hot planes in HBM.
+    # dedicated Pallas backward kernel (same one-hot MXU structure as the
+    # forward), mirroring the reference's forward/backward CUDA pair
+    # (ms_deform_attn_cuda.cu:81). Parity vs autodiff of the lax reference
+    # is tested in tests/test_pallas_kernels.py.
+    import jax as _jax
+    from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas_bwd
     value, loc, w = res
-    _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn_block(v, shapes, l, a), value, loc, w)
-    return vjp(g)
+    interpret = _jax.default_backend() == "cpu"
+    return ms_deform_attn_pallas_bwd(value, shapes, loc, w, g, 64, interpret)
 
 
 _msda_pallas.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)

@@ -115,7 +115,7 @@ def bench_deformable(args):
         "metric": f"deformable_detr_r50_refine_imgs_per_sec_bs{batch}_{size}px",
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_s / TRT_A100_IMG_S, 3),
+        "vs_baseline": None,  # the 96 img/s TRT point is DETR-specific
     }
 
 

@@ -100,3 +100,33 @@ def test_ms_deform_attn_block_parity_and_grad():
     g2 = jax.grad(lambda v: jnp.sum(
         ms_deform_attn(v, shapes, loc, w, impl="block") ** 2))(value)
     assert float(jnp.abs(g1 - g2).max()) < 1e-4
+
+
+def test_ms_deform_attn_pallas_bwd_out_of_range_locations():
+    """The dedicated backward kernel must zero gradients for out-of-bounds
+    corners exactly like autodiff of the lax reference (validity masking)."""
+    from aloception_tpu.ops.ms_deform_attn import (ms_deform_attn,
+                                                   ms_deform_attn_lax)
+    rng = np.random.RandomState(7)
+    B, nH, C, P = 2, 2, 8, 4
+    shapes = ((8, 8), (4, 4))
+    Len_v = sum(h * w for h, w in shapes)
+    Lq = 70  # > tile_q=64: exercises query padding in fwd AND bwd
+    value = jnp.asarray(rng.randn(B, Len_v, nH, C), jnp.float32)
+    loc = jnp.asarray(rng.rand(B, Lq, nH, 2, P, 2) * 1.6 - 0.3, jnp.float32)
+    w = jax.nn.softmax(jnp.asarray(
+        rng.randn(B, Lq, nH, 2, P), jnp.float32).reshape(B, Lq, nH, -1),
+        -1).reshape(B, Lq, nH, 2, P)
+
+    def loss(impl):
+        def f(v, l, a):
+            out = (ms_deform_attn(v, shapes, l, a, impl=impl) if impl
+                   else ms_deform_attn_lax(v, shapes, l, a))
+            return jnp.sum(jnp.sin(out))
+        return f
+
+    g_ref = jax.grad(loss(None), argnums=(0, 1, 2))(value, loc, w)
+    g_pal = jax.grad(loss("pallas"), argnums=(0, 1, 2))(value, loc, w)
+    for name, a, b in zip(("dvalue", "dloc", "dw"), g_ref, g_pal):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) / scale < 1e-5, name
