@@ -10,6 +10,12 @@ criterion with on-device Hungarian matching. The whole dataset is prepared
 once and lives on device (the per-batch host pipeline was the round-1
 bottleneck: 1-7 s/step); each train step is one jitted call.
 
+Trains in fp32: bf16 activations collapse training from a random init (all
+queries converge to one box and Hungarian matching flip-flops every step —
+verified on the 1-image micro case: fp32 reaches loss 0.25 / p=0.997 in 300
+steps where bf16 plateaus at loss 10.6 forever). On TPU fp32 still rides the
+MXU (bf16 multiply + fp32 accumulate); bf16 remains the inference/bench dtype.
+
 Usage:  python scripts/overfit_tpu.py --steps 1500 --eval-every 250
 Writes a step/loss/AP log to stdout (captured into DEVELOPMENT.md).
 """
@@ -46,22 +52,35 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--eval-every", type=int, default=250)
+    p.add_argument("--block-steps", type=int, default=25,
+                   help="train steps fused into one jitted scan dispatch "
+                        "(too-long single programs crash the tunnel worker)")
     p.add_argument("--n-images", type=int, default=64)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--size", type=int, default=384)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup", type=int, default=500,
+                   help="linear lr warmup steps (from-scratch R50 diverges "
+                        "without it at useful lrs)")
     p.add_argument("--max-targets", type=int, default=8)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 activations (known to break from-scratch "
+                        "training; kept for A/B demonstration)")
+    p.add_argument("--threshold", type=float, default=0.05,
+                   help="eval score threshold (AP ranks by score anyway; "
+                        "a high threshold hides early learning)")
     args = p.parse_args()
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    import optax
     from aloception_tpu.models.detr import Detr, detr_r50, inference
+    from aloception_tpu.models.detr.criterion import detr_criterion
     from aloception_tpu.train.state import make_train_state, make_optimizer
-    from aloception_tpu.train.step import make_detr_train_step
     from aloception_tpu.metrics import ApMetrics
     from aloception_tpu.aloscene import BoundingBoxes2D, Labels
 
@@ -86,31 +105,58 @@ def main():
     imgs = (np.stack(imgs) - mean) / std
 
     nb = args.n_images // args.batch
-    batches = []
-    for i in range(nb):
-        sl = slice(i * args.batch, (i + 1) * args.batch)
-        batches.append(dict(
-            images=jnp.asarray(imgs[sl], jnp.float32),
-            mask=jnp.zeros((args.batch, H, W), jnp.float32),
-            targets={"boxes": jnp.asarray(np.stack(tboxes)[sl]),
-                     "labels": jnp.asarray(np.stack(tlabels)[sl]),
-                     "valid": jnp.asarray(np.stack(tvalid)[sl])}))
+    # whole dataset stacked on device: (nb, B, ...) — the scan below indexes it
+    data = dict(
+        images=jnp.asarray(imgs[:nb * args.batch], jnp.float32).reshape(
+            nb, args.batch, H, W, 3),
+        mask=jnp.zeros((nb, args.batch, H, W), jnp.float32),
+        targets={"boxes": jnp.asarray(np.stack(tboxes)[:nb * args.batch]
+                                      ).reshape(nb, args.batch, -1, 4),
+                 "labels": jnp.asarray(np.stack(tlabels)[:nb * args.batch]
+                                       ).reshape(nb, args.batch, -1),
+                 "valid": jnp.asarray(np.stack(tvalid)[:nb * args.batch]
+                                      ).reshape(nb, args.batch, -1)})
+    batches = [jax.tree.map(lambda x, i=i: x[i], data) for i in range(nb)]
 
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    # dropout off: this is an overfit demo — regularization only slows it
     if args.tiny:
         model = Detr(num_classes=len(CLASSES), hidden_dim=64, num_queries=20,
                      nheads=4, num_encoder_layers=2, num_decoder_layers=2,
                      dim_feedforward=256, stage_sizes=(1, 1, 1, 1),
-                     dtype=jnp.bfloat16)
+                     dropout=0.0, dtype=dtype)
     else:
-        model = detr_r50(num_classes=len(CLASSES), dtype=jnp.bfloat16)
+        model = detr_r50(num_classes=len(CLASSES), dropout=0.0, dtype=dtype)
     params = model.init(jax.random.PRNGKey(0), batches[0]["images"][:1],
                         batches[0]["mask"][:1])
     # random-init backbone: train it at the full LR (the reference's 10x
     # lower backbone LR assumes pretrained weights)
+    sched = optax.linear_schedule(0.0, args.lr, args.warmup) \
+        if args.warmup > 0 else None
     tx = make_optimizer(lr=args.lr, lr_backbone=args.lr, weight_decay=1e-4,
-                        grad_clip=0.1)
+                        grad_clip=0.1, schedule=sched)
     state = make_train_state(model, params, tx=tx, rng=jax.random.PRNGKey(1))
-    step = make_detr_train_step(model)
+
+    # K train steps per dispatch: a lax.scan over the on-device dataset.
+    # One jitted call per eval block instead of one per step — the tunnel
+    # dispatch latency dominated round 1 (0.3 steps/s at 384px bs16).
+    def one_step(state, batch):
+        def loss_fn(p):
+            out = model.apply(p, batch["images"], batch["mask"])
+            loss, m = detr_criterion(out, batch["targets"])
+            return loss, m
+        (_, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        m["grad_norm"] = optax.global_norm(grads)
+        return state.apply_gradients(grads=grads), m
+
+    @jax.jit
+    def run_block(state, data, start):
+        def body(st, i):
+            batch = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, (start + i) % nb, 0,
+                                                       keepdims=False), data)
+            return one_step(st, batch)
+        return jax.lax.scan(body, state, jnp.arange(args.block_steps))
 
     fwd = jax.jit(lambda p, im, m: model.apply(p, im, m))
 
@@ -121,7 +167,7 @@ def main():
             out = fwd(state.params, b["images"], b["mask"])
             preds = inference({k: np.asarray(v) for k, v in out.items()
                                if k in ("pred_logits", "pred_boxes")},
-                              threshold=0.5,
+                              threshold=args.threshold,
                               background_class=len(CLASSES))
             for bi, pbox in enumerate(preds):
                 v = np.asarray(b["targets"]["valid"][bi])
@@ -135,19 +181,27 @@ def main():
         return all_maps["all"]["all"] / 100.0, all_maps["all"][50] / 100.0
 
     print(f"[overfit] {args.n_images} images, bs{args.batch}, {H}px, "
-          f"steps={args.steps}", flush=True)
+          f"steps={args.steps}, warmup={args.warmup}, lr={args.lr}",
+          flush=True)
     t0 = time.time()
-    loss = float("nan")
-    for i in range(1, args.steps + 1):
-        state, metrics = step(state, batches[(i - 1) % nb]["images"],
-                              batches[(i - 1) % nb]["mask"],
-                              batches[(i - 1) % nb]["targets"])
-        if i % args.eval_every == 0 or i == args.steps:
-            loss = float(metrics["loss_total"])
-            sps = i / (time.time() - t0)
-            ap, ap50 = eval_ap()
-            print(f"step {i:5d}  loss {loss:7.3f}  {sps:6.2f} steps/s  "
-                  f"train AP {ap:.3f}  AP50 {ap50:.3f}", flush=True)
+    i = 0
+    while i < args.steps:
+        for _ in range(max(1, args.eval_every // args.block_steps)):
+            state, mhist = run_block(state, data, jnp.asarray(i))
+            i += args.block_steps
+        last = jax.tree.map(lambda x: x[-1], mhist)
+        loss = float(last["loss_total"])
+        parts = " ".join(
+            f"{k.replace('loss_', '')} {float(v):.3f}"
+            for k, v in sorted(last.items())
+            if k.startswith("loss_") and k != "loss_total"
+            and not k[-1].isdigit())
+        sps = i / (time.time() - t0)
+        ap, ap50 = eval_ap()
+        print(f"step {i:5d}  loss {loss:7.3f} [{parts}] "
+              f"gnorm {float(last['grad_norm']):7.2f}  "
+              f"{sps:6.2f} steps/s  train AP {ap:.3f}  AP50 {ap50:.3f}",
+              flush=True)
     ap, ap50 = eval_ap()
     print(f"[overfit] FINAL train-set AP={ap:.3f} AP50={ap50:.3f} "
           f"({'PASS' if ap > 0.5 else 'FAIL'} vs 0.5 target)", flush=True)

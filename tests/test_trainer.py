@@ -141,3 +141,58 @@ def test_multiscale_bucketed_geometry():
         in MULTISCALE_BUCKETS
     # padded area is masked
     assert mask[0, 510, 10] == 1.0 and mask[0, 100, 100] == 0.0
+
+
+def test_train_step_learns_and_differentiates_queries():
+    """Regression for the bf16 query-collapse bug: ~40 fp32 steps on a
+    2-box scene must (a) cut the loss by >40% and (b) leave the two matched
+    queries predicting DISTINCT boxes. Under bf16 activations every query
+    converges to the same box and the loss plateaus (DEVELOPMENT.md,
+    'Training precision'); fp32 passes this easily."""
+    import optax
+    from aloception_tpu.models.detr.criterion import detr_criterion
+    from aloception_tpu.models.detr.matcher import hungarian_match
+    from aloception_tpu.train.state import make_train_state, make_optimizer
+
+    H = W = 64
+    img = np.full((1, H, W, 3), 0.4, np.float32)
+    img[0, 8:24, 4:28] = [0.9, 0.1, 0.1]
+    img[0, 40:60, 36:60] = [0.1, 0.2, 0.9]
+    targets = {
+        "boxes": jnp.asarray([[[16 / W, 16 / H, 24 / W, 16 / H],
+                               [48 / W, 50 / H, 24 / W, 20 / H]]], jnp.float32),
+        "labels": jnp.asarray([[0, 2]], jnp.int32),
+        "valid": jnp.asarray([[True, True]]),
+    }
+    model = Detr(num_classes=4, hidden_dim=32, num_queries=8, nheads=4,
+                 num_encoder_layers=1, num_decoder_layers=1,
+                 dim_feedforward=64, stage_sizes=(1, 1, 1, 1), dropout=0.0)
+    images = jnp.asarray(img)
+    mask = jnp.zeros((1, H, W), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images, mask)
+    tx = make_optimizer(lr=1e-3, lr_backbone=1e-3, weight_decay=1e-4,
+                        grad_clip=0.1)
+    state = make_train_state(model, params, tx=tx)
+
+    @jax.jit
+    def step(state):
+        def loss_fn(p):
+            out = model.apply(p, images, mask)
+            loss, _ = detr_criterion(out, targets)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    state, loss0 = step(state)
+    for _ in range(40):
+        state, loss = step(state)
+    assert float(loss) < 0.6 * float(loss0), (loss0, loss)
+
+    out = jax.jit(lambda p: model.apply(p, images, mask))(state.params)
+    matched, _ = hungarian_match(out, targets)
+    q0, q1 = np.asarray(matched)[0]
+    b0 = np.asarray(out["pred_boxes"])[0, q0]
+    b1 = np.asarray(out["pred_boxes"])[0, q1]
+    assert q0 != q1
+    # distinct queries must predict distinct boxes (collapse => ~identical)
+    assert np.abs(b0 - b1).sum() > 0.1, (b0, b1)
