@@ -29,6 +29,13 @@ def make_detr_train_step(model, criterion: Callable = detr_criterion,
         def loss_fn(params):
             out = model.apply(params, images, mask, deterministic=False,
                               rngs={"dropout": rng})
+            # criterion always in fp32: bf16 log_softmax/L1 rounding starves
+            # the matching gradient and stalls training (DEVELOPMENT.md,
+            # 'Training precision'); no-op for fp32 models
+            out = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if isinstance(x, jax.Array) and jnp.issubdtype(
+                    x.dtype, jnp.floating) else x, out)
             loss, metrics = criterion(out, targets, **criterion_kwargs)
             return loss, metrics
 
