@@ -35,6 +35,7 @@ class DeformableDETR(nn.Module):
     dec_n_points: int = 4
     enc_n_points: int = 4
     with_box_refine: bool = False
+    msda_impl: str = "pallas"  # ops/ms_deform_attn.py: pallas|block|fast|lax
     activation_fn: str = "sigmoid"  # "sigmoid" (focal) | "softmax"
     aux_loss: bool = True
     return_intermediate: bool = False
@@ -104,7 +105,8 @@ class DeformableDETR(nn.Module):
                 num_decoder_layers=self.num_decoder_layers,
                 dim_feedforward=self.dim_feedforward, dropout=self.dropout,
                 n_levels=self.num_feature_levels, n_points=self.dec_n_points,
-                with_box_refine=self.with_box_refine, dtype=self.dtype,
+                with_box_refine=self.with_box_refine,
+                msda_impl=self.msda_impl, dtype=self.dtype,
                 name="transformer")(
                 srcs, masks, pos_embeds, query_embed.astype(self.dtype),
                 bbox_embed_fns=[bbox_fn(i) for i in

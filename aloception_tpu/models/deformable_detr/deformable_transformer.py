@@ -59,13 +59,15 @@ class DeformableEncoderLayer(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    msda_impl: str = "pallas"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes,
                  padding_mask=None, deterministic=True):
         src2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
-                            self.n_points, dtype=self.dtype, name="self_attn")(
+                            self.n_points, impl=self.msda_impl,
+                            dtype=self.dtype, name="self_attn")(
             src + pos, reference_points, src, spatial_shapes, padding_mask)
         src = nn.LayerNorm(dtype=self.dtype, name="norm1")(
             src + nn.Dropout(self.dropout, deterministic=deterministic)(src2))
@@ -84,6 +86,7 @@ class DeformableDecoderLayer(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    msda_impl: str = "pallas"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -97,8 +100,8 @@ class DeformableDecoderLayer(nn.Module):
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(
             tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2))
         tgt2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
-                            self.n_points, dtype=self.dtype,
-                            name="cross_attn")(
+                            self.n_points, impl=self.msda_impl,
+                            dtype=self.dtype, name="cross_attn")(
             tgt + query_pos, reference_points, src, spatial_shapes,
             src_padding_mask)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(
@@ -124,6 +127,7 @@ class DeformableTransformer(nn.Module):
     n_levels: int = 4
     n_points: int = 4
     with_box_refine: bool = False
+    msda_impl: str = "pallas"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -153,7 +157,8 @@ class DeformableTransformer(nn.Module):
         for i in range(self.num_encoder_layers):
             memory = DeformableEncoderLayer(
                 self.d_model, self.dim_feedforward, self.dropout,
-                self.n_levels, self.n_heads, self.n_points, dtype=self.dtype,
+                self.n_levels, self.n_heads, self.n_points,
+                msda_impl=self.msda_impl, dtype=self.dtype,
                 name=f"encoder_layer{i}")(
                 memory, pos, enc_ref, spatial_shapes, mask, deterministic)
 
@@ -176,7 +181,8 @@ class DeformableTransformer(nn.Module):
                 ref_input = reference_points[:, :, None] * valid_ratios[:, None]
             tgt = DeformableDecoderLayer(
                 self.d_model, self.dim_feedforward, self.dropout,
-                self.n_levels, self.n_heads, self.n_points, dtype=self.dtype,
+                self.n_levels, self.n_heads, self.n_points,
+                msda_impl=self.msda_impl, dtype=self.dtype,
                 name=f"decoder_layer{i}")(
                 tgt, query_pos, ref_input, memory, spatial_shapes, mask,
                 deterministic)

@@ -239,15 +239,19 @@ def _msda_pallas_fwd(shapes, value, loc, w):
 
 
 def _msda_pallas_bwd(shapes, res, g):
-    # dedicated Pallas backward kernel (same one-hot MXU structure as the
-    # forward), mirroring the reference's forward/backward CUDA pair
-    # (ms_deform_attn_cuda.cu:81). Parity vs autodiff of the lax reference
-    # is tested in tests/test_pallas_kernels.py.
-    import jax as _jax
-    from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas_bwd
+    # Backward = autodiff of the block formulation, verified EXACT on the
+    # real TPU vs a CPU oracle (maxdiff ~1e-5 at B=2 nH=8 Lq=300, 4 levels).
+    # The dedicated Pallas backward kernel (pallas/ms_deform_attn_kernel.py
+    # ms_deform_attn_pallas_bwd) is itself correct in-kernel on TPU, but the
+    # tunneled backend miscompiles the fused XLA epilogue around it (the
+    # chain rule CSE'd with the prep reads wrong level slices) and fixing it
+    # with optimization_barrier trips a 16 MB scoped-VMEM compile OOM — so
+    # the kernel stays parity-tested (interpret mode) but is not the
+    # default. Reference fwd/bwd CUDA pair: ms_deform_attn_cuda.cu:81.
     value, loc, w = res
-    interpret = _jax.default_backend() == "cpu"
-    return ms_deform_attn_pallas_bwd(value, shapes, loc, w, g, 64, interpret)
+    _, vjp = jax.vjp(
+        lambda v, l, a: ms_deform_attn_block(v, shapes, l, a), value, loc, w)
+    return vjp(g.astype(value.dtype))
 
 
 _msda_pallas.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)

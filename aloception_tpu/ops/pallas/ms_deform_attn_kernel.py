@@ -30,45 +30,111 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_LANE = 128          # TPU lane width; the low digit of the factored one-hot
+_DENSE_MAX = 256     # levels this small keep the dense compare-FMA path
+
+
+def _pad_hw(HW):
+    return -(-HW // _LANE) * _LANE
+
+
 def _level_starts(shapes):
+    """Level offsets in the LANE-PADDED flat value layout (each level padded
+    to a multiple of 128 rows so its plane reshapes to (M, 128))."""
     starts = [0]
     for (h, w) in shapes[:-1]:
-        starts.append(starts[-1] + h * w)
+        starts.append(starts[-1] + _pad_hw(h * w))
     return tuple(starts)
+
+
+def _pad_value_levels(value_h, shapes):
+    """(B, nH, Len_v, C) -> (B, nH, Len_p, C) with per-level zero padding to
+    a multiple of 128 rows."""
+    segs, s = [], 0
+    for (h, w) in shapes:
+        HW = h * w
+        seg = value_h[:, :, s:s + HW]
+        pad = _pad_hw(HW) - HW
+        if pad:
+            seg = jnp.pad(seg, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        segs.append(seg)
+        s += HW
+    return jnp.concatenate(segs, axis=2)
+
+
+def _coeff_plane(tile_idx, tile_cw, HW, P, Tq, dtype):
+    """Combined-corner-weight plane (Tq, HWp) for one level.
+
+    Factored construction (the key to encoder speed): the flat index hw
+    splits into digits hw = m * 128 + l, so the weighted one-hot over HWp
+    factorizes per corner j into a high one-hot Ha[q,j,m] (carrying the
+    weight) and a low one-hot Lb[q,j,l]; summing over the 4P corners is then
+    ONE batched (M,4P)@(4P,128) matmul per query — MXU work. The dense
+    compare-FMA alternative costs Tq*HW*4P VPU ops and dominated the
+    encoder (~190 ms/layer at 640px); levels smaller than _DENSE_MAX keep
+    it (M would be 1-2 and the comparisons are already trivial there).
+    """
+    HWp = _pad_hw(HW)
+    if HW <= _DENSE_MAX:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Tq, HWp), 1)
+        coeff = jnp.zeros((Tq, HWp), jnp.float32)
+        for j in range(4 * P):
+            coeff = coeff + jnp.where(iota == tile_idx[:, j:j + 1],
+                                      tile_cw[:, j:j + 1], 0.0)
+        return coeff.astype(dtype)
+    M = HWp // _LANE
+    hi = tile_idx // _LANE                               # (Tq, 4P)
+    lo = tile_idx - hi * _LANE
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (Tq, 4 * P, M), 2)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (Tq, 4 * P, _LANE), 2)
+    Ha = jnp.where(iota_m == hi[:, :, None], tile_cw[:, :, None], 0.0)
+    Lb = jnp.where(iota_l == lo[:, :, None], 1.0, 0.0)
+    # HIGHEST on the f32 path: a single bf16 MXU pass on f32 weights costs
+    # ~1% error (the one-hot-contraction precision trap, DEVELOPMENT.md).
+    # Mosaic rejects HIGHEST for bf16 operands ("Bad lhs type"), so the
+    # bf16 model path keeps default precision — consistent with its dtype.
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    coeff = jax.lax.dot_general(
+        Ha.astype(dtype), Lb.astype(dtype), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=prec)                                  # (Tq, M, 128)
+    return coeff.reshape(Tq, HWp).astype(dtype)
 
 
 def _kernel(value_ref, idx_ref, cw_ref, out_ref, *, shapes, starts, P):
     """Grid: (B, nH, Lq // Tq). Block shapes carry two leading unit dims
     (batch, head) selected by the index map.
 
-    value_ref: (1, 1, Len_v, C) one head's flattened levels
+    value_ref: (1, 1, Len_p, C) one head's lane-padded flattened levels
     idx_ref:   (1, 1, L, Tq, 4P) int32 flat corner indices (level-local)
                — Tq on the SUBLANE axis (div-8), 4P on the lane axis (full
                dim): the only layout Pallas accepts for a Tq-tiled block
     cw_ref:    (1, 1, L, Tq, 4P) f32 corner weights (0 where OOB)
     out_ref:   (1, 1, Tq, C)
 
-    The (point, corner) one-hot passes are a STATIC python unroll with
-    static lane slices — Mosaic has no dynamic lane indexing (fori_loop +
-    dynamic_slice fails to lower); the rolling `coeff = coeff + ...` chain
-    still keeps one live coefficient plane.
+    Per level the coefficient plane comes from _coeff_plane (factored
+    one-hot on the MXU; padded rows get coefficient 0 and the padded value
+    rows are zeros, so they contribute nothing) and sampling collapses to
+    (Tq, HWp) @ (HWp, C). The per-corner passes inside _coeff_plane are a
+    STATIC python unroll with static lane slices — Mosaic has no dynamic
+    lane indexing.
     """
     Tq = idx_ref.shape[3]
+    mm_dtype = value_ref.dtype if value_ref.dtype == jnp.bfloat16 \
+        else jnp.float32
     acc = jnp.zeros((Tq, out_ref.shape[3]), jnp.float32)
 
     for lvl, (H_l, W_l) in enumerate(shapes):
         HW = H_l * W_l
-        v_l = value_ref[0, 0, starts[lvl]:starts[lvl] + HW, :]  # (HW, C)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (Tq, HW), 1)
-        tile_idx = idx_ref[0, 0, lvl]                 # (Tq, 4P)
-        tile_cw = cw_ref[0, 0, lvl]
-
-        coeff = jnp.zeros((Tq, HW), jnp.float32)
-        for j in range(4 * P):
-            coeff = coeff + jnp.where(iota == tile_idx[:, j:j + 1],
-                                      tile_cw[:, j:j + 1], 0.0)
-        acc = acc + jax.lax.dot(coeff, v_l.astype(jnp.float32),
-                                preferred_element_type=jnp.float32)
+        HWp = _pad_hw(HW)
+        v_l = value_ref[0, 0, starts[lvl]:starts[lvl] + HWp, :]  # (HWp, C)
+        coeff = _coeff_plane(idx_ref[0, 0, lvl], cw_ref[0, 0, lvl],
+                             HW, P, Tq, mm_dtype)
+        acc = acc + jax.lax.dot(
+            coeff, v_l.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
+            if mm_dtype == jnp.float32 else None)
     out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
 
 
@@ -98,17 +164,24 @@ _CORNERS = (
 def _corner_indices_weights(shapes, loc, w):
     """Level-local flat corner indices + combined (bilinear x attention)
     weights, laid out for the kernels: idx/cw (B, nH, L, Lq_p, 4P) with the
-    last axis corner-major ([c00 x P, c01 x P, c10 x P, c11 x P])."""
-    idx_lvls, cw_lvls = [], []
+    last axis corner-major ([c00 x P, c01 x P, c10 x P, c11 x P]).
+
+    NOTE the attention weight w is deliberately NOT sliced per level inside
+    the level loop: on the tunneled TPU backend, XLA's fusion of
+    pad+slice+transpose miscompiled ``w[:, :, :, lvl]`` to always read
+    level 0's slice (verified against a numpy oracle at B=2, nH=8, Lq=300,
+    L=2 — every level-1 weight matched level 0's instead). Building the
+    bilinear-only planes per level and multiplying the whole stacked tensor
+    by one transposed copy of w sidesteps the buggy fusion pattern."""
+    idx_lvls, bw_lvls = [], []
     for lvl, (H_l, W_l) in enumerate(shapes):
         x = loc[:, :, :, lvl, :, 0] * W_l - 0.5       # (B, Lq_p, nH, P)
         y = loc[:, :, :, lvl, :, 1] * H_l - 0.5
-        wl = w[:, :, :, lvl]                          # (B, Lq_p, nH, P)
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         wx = x - x0
         wy = y - y0
-        idx_c, cw_c = [], []
+        idx_c, bw_c = [], []
         for dy, dx, bilin, _, _ in _CORNERS:
             yy = y0 + dy
             xx = x0 + dx
@@ -116,12 +189,15 @@ def _corner_indices_weights(shapes, loc, w):
             flat = (jnp.clip(yy, 0, H_l - 1).astype(jnp.int32) * W_l
                     + jnp.clip(xx, 0, W_l - 1).astype(jnp.int32))
             idx_c.append(flat)
-            cw_c.append(jnp.where(valid, bilin(wx, wy) * wl, 0.0))
+            bw_c.append(jnp.where(valid, bilin(wx, wy), 0.0))
         # (B, Lq_p, nH, 4P) -> (B, nH, Lq_p, 4P)
         idx_lvls.append(jnp.concatenate(idx_c, -1).transpose(0, 2, 1, 3))
-        cw_lvls.append(jnp.concatenate(cw_c, -1).transpose(0, 2, 1, 3))
+        bw_lvls.append(jnp.concatenate(bw_c, -1).transpose(0, 2, 1, 3))
     idx = jnp.stack(idx_lvls, axis=2)                 # (B, nH, L, Lq_p, 4P)
-    cw = jnp.stack(cw_lvls, axis=2).astype(jnp.float32)
+    bw = jnp.stack(bw_lvls, axis=2).astype(jnp.float32)
+    # w (B, Lq_p, nH, L, P) -> (B, nH, L, Lq_p, P), tiled corner-major to 4P
+    wt = w.transpose(0, 2, 3, 1, 4).astype(jnp.float32)
+    cw = bw * jnp.concatenate([wt, wt, wt, wt], axis=-1)
     return idx, cw
 
 
@@ -144,15 +220,17 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
     loc, w, Lq_p = _pad_q(sampling_locations, attention_weights, Lq, Tq)
     idx, cw = _corner_indices_weights(shapes, loc, w)
 
-    # head-major value so each grid step sees one head's contiguous plane
-    value_h = value.transpose(0, 2, 1, 3)             # (B, nH, Len_v, C)
+    # head-major value so each grid step sees one head's contiguous plane,
+    # lane-padded per level for the factored one-hot
+    value_h = _pad_value_levels(value.transpose(0, 2, 1, 3), shapes)
+    Len_p = value_h.shape[2]
 
     kernel = functools.partial(_kernel, shapes=shapes, starts=starts, P=P)
     out = pl.pallas_call(
         kernel,
         grid=(B, nH, Lq_p // Tq),
         in_specs=[
-            pl.BlockSpec((1, 1, Len_v, C), lambda b, h, t: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, Len_p, C), lambda b, h, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, L, Tq, 4 * P),
                          lambda b, h, t: (b, h, 0, t, 0),
@@ -173,11 +251,15 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
 
 def _bwd_kernel(value_ref, idx_ref, cw_ref, g_ref, dval_ref, dcw_ref, *,
                 shapes, starts, P):
-    """Backward pass, same one-hot structure as the forward.
+    """Backward pass, same factored one-hot structure as the forward.
 
     Per (b, h) and query tile t (innermost SEQUENTIAL grid dim):
       dvalue[hw, c] += coeff(t)^T @ g(t)      accumulated across tiles
       dcw[t, j]      = sum_hw 1[idx_j == hw] * (g(t) @ value^T)[q, hw]
+    The dcw pick also uses the digit factorization: contract the high
+    one-hot against S reshaped (Tq, M, 128) on the MXU, then the low
+    one-hot picks lanes (elementwise + lane reduce — VPU, but only
+    Tq*4P*128 of it instead of Tq*4P*HW).
     """
     t = pl.program_id(2)
 
@@ -190,28 +272,42 @@ def _bwd_kernel(value_ref, idx_ref, cw_ref, g_ref, dval_ref, dcw_ref, *,
 
     for lvl, (H_l, W_l) in enumerate(shapes):
         HW = H_l * W_l
-        v_l = value_ref[0, 0, starts[lvl]:starts[lvl] + HW, :]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (Tq, HW), 1)
+        HWp = _pad_hw(HW)
+        sl = slice(starts[lvl], starts[lvl] + HWp)
+        v_l = value_ref[0, 0, sl, :]                   # (HWp, C)
         tile_idx = idx_ref[0, 0, lvl]                  # (Tq, 4P)
         tile_cw = cw_ref[0, 0, lvl]
 
-        coeff = jnp.zeros((Tq, HW), jnp.float32)
-        for j in range(4 * P):
-            coeff = coeff + jnp.where(iota == tile_idx[:, j:j + 1],
-                                      tile_cw[:, j:j + 1], 0.0)
-        dval_ref[0, 0, starts[lvl]:starts[lvl] + HW, :] = (
-            dval_ref[0, 0, starts[lvl]:starts[lvl] + HW, :]
+        coeff = _coeff_plane(tile_idx, tile_cw, HW, P, Tq, jnp.float32)
+        dval_ref[0, 0, sl, :] = (
+            dval_ref[0, 0, sl, :]
             + jax.lax.dot(coeff.T, g,
                           preferred_element_type=jnp.float32
                           ).astype(dval_ref.dtype))
 
         # S[q, hw] = sum_c g[q, c] * v[hw, c]
         S = jax.lax.dot(g, v_l.astype(jnp.float32).T,
-                        preferred_element_type=jnp.float32)  # (Tq, HW)
-        for j in range(4 * P):
-            picked = jnp.where(iota == tile_idx[:, j:j + 1], S, 0.0)
-            dcw_ref[0, 0, lvl, :, j:j + 1] = jnp.sum(picked, axis=1,
-                                                     keepdims=True)
+                        preferred_element_type=jnp.float32)  # (Tq, HWp)
+        if HW <= _DENSE_MAX:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (Tq, HWp), 1)
+            for j in range(4 * P):
+                picked = jnp.where(iota == tile_idx[:, j:j + 1], S, 0.0)
+                dcw_ref[0, 0, lvl, :, j:j + 1] = jnp.sum(picked, axis=1,
+                                                         keepdims=True)
+        else:
+            M = HWp // _LANE
+            hi = tile_idx // _LANE
+            lo = tile_idx - hi * _LANE
+            iota_m = jax.lax.broadcasted_iota(jnp.int32, (Tq, 4 * P, M), 2)
+            iota_l = jax.lax.broadcasted_iota(jnp.int32, (Tq, 4 * P, _LANE), 2)
+            Ha1 = jnp.where(iota_m == hi[:, :, None], 1.0, 0.0)
+            Lb1 = jnp.where(iota_l == lo[:, :, None], 1.0, 0.0)
+            # T[q,j,l] = sum_m Ha1[q,j,m] * S[q,m,l]
+            T = jax.lax.dot_general(
+                Ha1, S.reshape(Tq, M, _LANE),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)     # (Tq, 4P, 128)
+            dcw_ref[0, 0, lvl, :, :] = jnp.sum(T * Lb1, axis=2)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 5, 6))
@@ -240,7 +336,8 @@ def ms_deform_attn_pallas_bwd(value, value_spatial_shapes,
     if Lq_p != Lq:
         g = jnp.pad(g, ((0, 0), (0, Lq_p - Lq), (0, 0), (0, 0)))
     g_h = g.transpose(0, 2, 1, 3)                      # (B, nH, Lq_p, C)
-    value_h = value.transpose(0, 2, 1, 3)              # (B, nH, Len_v, C)
+    value_h = _pad_value_levels(value.transpose(0, 2, 1, 3), shapes)
+    Len_p = value_h.shape[2]
 
     kernel = functools.partial(_bwd_kernel, shapes=shapes, starts=starts,
                                P=P)
@@ -248,7 +345,7 @@ def ms_deform_attn_pallas_bwd(value, value_spatial_shapes,
         kernel,
         grid=(B, nH, Lq_p // Tq),
         in_specs=[
-            pl.BlockSpec((1, 1, Len_v, C), lambda b, h, t: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, Len_p, C), lambda b, h, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, L, Tq, 4 * P),
                          lambda b, h, t: (b, h, 0, t, 0),
@@ -260,50 +357,62 @@ def ms_deform_attn_pallas_bwd(value, value_spatial_shapes,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, Len_v, C), lambda b, h, t: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, Len_p, C), lambda b, h, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, L, Tq, 4 * P),
                          lambda b, h, t: (b, h, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, nH, Len_v, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, nH, Len_p, C), jnp.float32),
             jax.ShapeDtypeStruct((B, nH, L, Lq_p, 4 * P), jnp.float32),
         ],
         interpret=interpret,
     )(value_h, idx, cw, g_h)
 
+    # fusion barrier: without it the tunneled TPU backend miscompiles the
+    # fused epilogue — the kernel's raw outputs match interpret mode to
+    # rounding, but the composed program did not. loc/w must be barriered
+    # too: XLA CSEs the chain rule's floor/frac subexpressions with the
+    # prep's, dragging them into the same buggy pad+slice fusion.
+    dval_h, dcw, loc, w = jax.lax.optimization_barrier((dval_h, dcw, loc, w))
+
+    # un-pad the per-level value rows back to the packed Len_v layout
+    dval_segs = []
+    for lvl, (h_l, w_l) in enumerate(shapes):
+        HW = h_l * w_l
+        dval_segs.append(dval_h[:, :, starts[lvl]:starts[lvl] + HW])
+    dval_h = jnp.concatenate(dval_segs, axis=2)
     dvalue = dval_h.transpose(0, 2, 1, 3).astype(value.dtype)
 
-    # chain rule: dcw (B, nH, L, Lq_p, 4P, corner-major) -> dloc, dw
+    # chain rule: dcw (B, nH, L, Lq_p, 4P, corner-major) -> dloc, dw.
+    # Fully vectorized over the L axis — NO per-level slicing: the tunneled
+    # TPU backend miscompiles fused pad+slice patterns like w[:, :, :, lvl]
+    # (see _corner_indices_weights), so levels are handled via broadcast
+    # against (L,)-shaped H/W vectors instead.
     dcw = dcw.transpose(0, 3, 1, 2, 4)                 # (B, Lq_p, nH, L, 4P)
-    dloc_x = jnp.zeros((B, Lq_p, nH, L, P), jnp.float32)
-    dloc_y = jnp.zeros_like(dloc_x)
-    dw = jnp.zeros_like(dloc_x)
-    for lvl, (H_l, W_l) in enumerate(shapes):
-        x = loc[:, :, :, lvl, :, 0] * W_l - 0.5
-        y = loc[:, :, :, lvl, :, 1] * H_l - 0.5
-        wl = w[:, :, :, lvl]
-        wx = x - jnp.floor(x)
-        wy = y - jnp.floor(y)
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        dx_l = jnp.zeros_like(wx)
-        dy_l = jnp.zeros_like(wx)
-        dw_l = jnp.zeros_like(wx)
-        for c, (dy_c, dx_c, bilin, dbdx, dbdy) in enumerate(_CORNERS):
-            valid = ((x0 + dx_c >= 0) & (x0 + dx_c < W_l)
-                     & (y0 + dy_c >= 0) & (y0 + dy_c < H_l))
-            dcw_c = jnp.where(valid, dcw[:, :, :, lvl, c * P:(c + 1) * P],
-                              0.0)
-            dw_l = dw_l + dcw_c * bilin(wx, wy)
-            dx_l = dx_l + dcw_c * wl * dbdx(wx, wy)
-            dy_l = dy_l + dcw_c * wl * dbdy(wx, wy)
-        dloc_x = dloc_x.at[:, :, :, lvl].set(dx_l * W_l)
-        dloc_y = dloc_y.at[:, :, :, lvl].set(dy_l * H_l)
-        dw = dw.at[:, :, :, lvl].set(dw_l)
+    Ws = jnp.asarray([float(w_l) for _, w_l in shapes], jnp.float32)
+    Hs = jnp.asarray([float(h_l) for h_l, _ in shapes], jnp.float32)
+    Wb = Ws[None, None, None, :, None]                 # -> (B,Lq_p,nH,L,P)
+    Hb = Hs[None, None, None, :, None]
+    x = loc[..., 0] * Wb - 0.5                         # (B, Lq_p, nH, L, P)
+    y = loc[..., 1] * Hb - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    dloc_x = jnp.zeros_like(wx)
+    dloc_y = jnp.zeros_like(wx)
+    dw = jnp.zeros_like(wx)
+    for c, (dy_c, dx_c, bilin, dbdx, dbdy) in enumerate(_CORNERS):
+        valid = ((x0 + dx_c >= 0) & (x0 + dx_c < Wb)
+                 & (y0 + dy_c >= 0) & (y0 + dy_c < Hb))
+        dcw_c = jnp.where(valid, dcw[..., c * P:(c + 1) * P], 0.0)
+        dw = dw + dcw_c * bilin(wx, wy)
+        dloc_x = dloc_x + dcw_c * w * dbdx(wx, wy)
+        dloc_y = dloc_y + dcw_c * w * dbdy(wx, wy)
 
-    dloc = jnp.stack([dloc_x, dloc_y], axis=-1)[:, :Lq]
+    dloc = jnp.stack([dloc_x * Wb, dloc_y * Hb], axis=-1)[:, :Lq]
     dw = dw[:, :Lq]
     return (dvalue, dloc.astype(sampling_locations.dtype),
             dw.astype(attention_weights.dtype))
