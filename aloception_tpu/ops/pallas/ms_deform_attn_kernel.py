@@ -112,29 +112,60 @@ def _kernel(value_ref, idx_ref, cw_ref, out_ref, *, shapes, starts, P):
     cw_ref:    (1, 1, L, Tq, 4P) f32 corner weights (0 where OOB)
     out_ref:   (1, 1, Tq, C)
 
-    Per level the coefficient plane comes from _coeff_plane (factored
-    one-hot on the MXU; padded rows get coefficient 0 and the padded value
-    rows are zeros, so they contribute nothing) and sampling collapses to
-    (Tq, HWp) @ (HWp, C). The per-corner passes inside _coeff_plane are a
-    STATIC python unroll with static lane slices — Mosaic has no dynamic
-    lane indexing.
+    All levels larger than _DENSE_MAX share ONE factored one-hot: because
+    each level is lane-padded, the GLOBAL padded row index start+hw splits
+    into digits (m, l) with a single iota over the whole padded plane, so
+    every large level's corners go into one batched (Mtot, nJ)@(nJ, 128)
+    matmul per query tile (fewer, larger MXU launches than per-level).
+    Small levels keep the dense compare path into their slice, everything
+    concatenates into one (Tq, Len_p) coefficient plane, and sampling is a
+    single (Tq, Len_p) @ (Len_p, C) matmul. Per-corner passes are STATIC
+    python unrolls — Mosaic has no dynamic lane indexing.
     """
     Tq = idx_ref.shape[3]
     mm_dtype = value_ref.dtype if value_ref.dtype == jnp.bfloat16 \
         else jnp.float32
-    acc = jnp.zeros((Tq, out_ref.shape[3]), jnp.float32)
+    prec = jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32 else None
 
-    for lvl, (H_l, W_l) in enumerate(shapes):
-        HW = H_l * W_l
-        HWp = _pad_hw(HW)
-        v_l = value_ref[0, 0, starts[lvl]:starts[lvl] + HWp, :]  # (HWp, C)
-        coeff = _coeff_plane(idx_ref[0, 0, lvl], cw_ref[0, 0, lvl],
-                             HW, P, Tq, mm_dtype)
-        acc = acc + jax.lax.dot(
-            coeff, v_l.astype(mm_dtype),
+    big = [lvl for lvl, (h, w) in enumerate(shapes) if h * w > _DENSE_MAX]
+    small = [lvl for lvl, (h, w) in enumerate(shapes) if h * w <= _DENSE_MAX]
+    # big levels form a contiguous prefix of the padded value layout
+    # (levels are ordered large->small in deformable FPN pyramids)
+    assert big == list(range(len(big))), shapes
+
+    parts = []
+    if big:
+        end = starts[len(big) - 1] + _pad_hw(
+            shapes[len(big) - 1][0] * shapes[len(big) - 1][1])
+        Mtot = end // _LANE
+        his, los, cws = [], [], []
+        for lvl in big:
+            gidx = idx_ref[0, 0, lvl] + starts[lvl]    # GLOBAL padded row
+            hi = gidx // _LANE
+            his.append(hi)
+            los.append(gidx - hi * _LANE)
+            cws.append(cw_ref[0, 0, lvl])
+        hi = jnp.concatenate(his, axis=1)              # (Tq, nJ)
+        lo = jnp.concatenate(los, axis=1)
+        cw = jnp.concatenate(cws, axis=1)
+        nJ = hi.shape[1]
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (Tq, nJ, Mtot), 2)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (Tq, nJ, _LANE), 2)
+        Ha = jnp.where(iota_m == hi[:, :, None], cw[:, :, None], 0.0)
+        Lb = jnp.where(iota_l == lo[:, :, None], 1.0, 0.0)
+        coeff_big = jax.lax.dot_general(
+            Ha.astype(mm_dtype), Lb.astype(mm_dtype),
+            (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
-            if mm_dtype == jnp.float32 else None)
+            precision=prec)                            # (Tq, Mtot, 128)
+        parts.append(coeff_big.reshape(Tq, end).astype(mm_dtype))
+    for lvl in small:
+        H_l, W_l = shapes[lvl]
+        parts.append(_coeff_plane(idx_ref[0, 0, lvl], cw_ref[0, 0, lvl],
+                                  H_l * W_l, P, Tq, mm_dtype))
+    coeff = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    acc = jax.lax.dot(coeff, value_ref[0, 0, :, :].astype(mm_dtype),
+                      preferred_element_type=jnp.float32, precision=prec)
     out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
 
 
