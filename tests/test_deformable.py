@@ -128,3 +128,57 @@ def test_deformable_inference_threshold(tiny_deformable):
     assert len(boxes) == 1 and isinstance(boxes[0], BoundingBoxes2D)
     boxes_low = inference(jax.device_get(out), threshold=0.0)
     assert boxes_low[0].shape[0] >= boxes[0].shape[0]
+
+
+def test_deformable_train_step_learns():
+    """~40 fp32 steps on a fixed 2-box scene must cut the loss by >35% and
+    teach matched queries their target classes (sigmoid/focal head) —
+    the deformable analog of the DETR learning regression in
+    test_trainer.py (bf16 query collapse, DEVELOPMENT.md)."""
+    import optax
+    from aloception_tpu.models.deformable_detr import focal_hungarian_match
+    from aloception_tpu.train.state import make_train_state, make_optimizer
+
+    H, W = 64, 64
+    img = np.full((1, H, W, 3), 0.4, np.float32)
+    img[0, 8:24, 4:28] = [0.9, 0.1, 0.1]
+    img[0, 40:60, 36:60] = [0.1, 0.2, 0.9]
+    targets = {
+        "boxes": jnp.asarray([[[16 / W, 16 / H, 24 / W, 16 / H],
+                               [48 / W, 50 / H, 24 / W, 20 / H]]], jnp.float32),
+        "labels": jnp.asarray([[0, 2]], jnp.int32),
+        "valid": jnp.asarray([[True, True]]),
+    }
+    model = DeformableDETR(
+        num_classes=4, hidden_dim=32, num_queries=8, nheads=4,
+        num_encoder_layers=1, num_decoder_layers=1, dim_feedforward=64,
+        num_feature_levels=4, stage_sizes=(1, 1, 1, 1), with_box_refine=True,
+        dropout=0.0)
+    images = jnp.asarray(img)
+    params = model.init(jax.random.PRNGKey(0), images)
+    tx = make_optimizer(lr=1e-3, lr_backbone=1e-3, weight_decay=1e-4,
+                        grad_clip=0.1)
+    state = make_train_state(model, params, tx=tx)
+
+    @jax.jit
+    def step(state):
+        def loss_fn(p):
+            out = model.apply(p, images)
+            loss, _ = deformable_criterion(out, targets)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    state, loss0 = step(state)
+    for _ in range(40):
+        state, loss = step(state)
+    assert float(loss) < 0.65 * float(loss0), (loss0, loss)
+
+    out = jax.jit(lambda p: model.apply(p, images))(state.params)
+    matched, _ = focal_hungarian_match(out, targets)
+    q = np.asarray(matched)[0]
+    assert q[0] != q[1]
+    probs = jax.nn.sigmoid(np.asarray(out["pred_logits"])[0])
+    # each matched query ranks its own class above the others
+    for t, lbl in enumerate((0, 2)):
+        assert probs[q[t]].argmax() == lbl, (t, probs[q[t]])
