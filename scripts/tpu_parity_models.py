@@ -1,0 +1,110 @@
+"""Full-model forward parity: real TPU vs CPU, fp32, HIGHEST matmul
+precision.
+
+Motivated by the round-2 discovery that the tunneled TPU backend can
+MISCOMPILE fused XLA patterns (DEVELOPMENT.md "silently WRONG on real
+TPU"): op-level parity is not enough — whole-model jit programs fuse
+differently and must be audited directly. Run after any model change:
+
+    python scripts/tpu_parity_models.py
+
+Expected: max rel diff ~1e-4 (fp32 HIGHEST on both sides). A percent-level
+or larger diff means a backend miscompile or a real bug — bisect with the
+per-level masking technique in scripts/tpu_parity_msda.py.
+"""
+
+import numpy as np
+
+
+def _run(build, make_inputs, outs, cpu_build=None):
+    import jax
+
+    model, params_key = build()
+    cpu_model = model if cpu_build is None else cpu_build()[0]
+    inputs = make_inputs()
+    with jax.default_matmul_precision("highest"):
+        params = model.init(jax.random.PRNGKey(params_key), *inputs)
+
+        f = jax.jit(lambda p, *xs: model.apply(p, *xs))
+        t = outs(f(params, *inputs))
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            c = outs(jax.jit(lambda p, *xs: cpu_model.apply(p, *xs))(
+                jax.device_put(params, cpu),
+                *[jax.device_put(x, cpu) for x in inputs]))
+    report = {}
+    for k in t:
+        a, b = np.asarray(t[k], np.float32), np.asarray(c[k], np.float32)
+        denom = max(np.abs(b).max(), 1e-6)
+        report[k] = float(np.abs(a - b).max() / denom)
+    return report
+
+
+def main():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+
+    def detr():
+        from aloception_tpu.models.detr import Detr
+        m = Detr(num_classes=10, hidden_dim=64, num_queries=20, nheads=4,
+                 num_encoder_layers=2, num_decoder_layers=2,
+                 dim_feedforward=128, stage_sizes=(1, 1, 1, 1))
+        return m, 0
+
+    def detr_in():
+        return (jnp.asarray(rng.randn(2, 128, 160, 3), jnp.float32),
+                jnp.zeros((2, 128, 160), jnp.float32))
+
+    def deformable(impl="block"):
+        # CPU side runs impl="block" (pure XLA — the pallas dispatcher only
+        # interprets when the DEFAULT backend is cpu, and here it is axon);
+        # block is oracle-exact (scripts/tpu_parity_msda.py), so TPU-pallas
+        # vs CPU-block is a valid whole-model parity check.
+        from aloception_tpu.models.deformable_detr import DeformableDETR
+        m = DeformableDETR(num_classes=10, hidden_dim=64, num_queries=20,
+                           nheads=4, num_encoder_layers=2,
+                           num_decoder_layers=2, dim_feedforward=128,
+                           num_feature_levels=4, stage_sizes=(1, 1, 1, 1),
+                           with_box_refine=True, msda_impl=impl)
+        return m, 0
+
+    def raft():
+        from aloception_tpu.models.raft import RAFT
+        m = RAFT(hidden_dim=32, context_dim=32, corr_levels=2, corr_radius=2)
+        return m, 0
+
+    def raft_in():
+        return (jnp.asarray(rng.randn(1, 96, 128, 3), jnp.float32),
+                jnp.asarray(rng.randn(1, 96, 128, 3), jnp.float32))
+
+    checks = [
+        ("detr", detr, detr_in,
+         lambda o: {"pred_logits": o["pred_logits"],
+                    "pred_boxes": o["pred_boxes"]}),
+        ("deformable", lambda: deformable("pallas"), detr_in,
+         lambda o: {"pred_logits": o["pred_logits"],
+                    "pred_boxes": o["pred_boxes"]},
+         lambda: deformable("block")),
+        ("raft", raft, raft_in,
+         lambda o: {"flow": o if not isinstance(o, (list, tuple)) else o[-1]}),
+    ]
+    worst = 0.0
+    for name, build, make_inputs, outs, *extra in checks:
+        try:
+            rep = _run(build, make_inputs, outs,
+                       cpu_build=extra[0] if extra else None)
+            for k, v in rep.items():
+                flag = "" if v < 1e-3 else "  <-- SUSPECT"
+                print(f"{name:11s} {k:12s} max rel diff {v:.2e}{flag}",
+                      flush=True)
+                worst = max(worst, v)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+            worst = max(worst, 1.0)
+    print(f"WORST {worst:.2e} ({'OK' if worst < 1e-3 else 'INVESTIGATE'})",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
