@@ -63,17 +63,21 @@ class DeformableDETR(nn.Module):
         for lvl, (f, m) in enumerate(ms_feats):
             s = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
                         name=f"input_proj{lvl}")(f)
-            s = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+            s = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                              name=f"input_proj_gn{lvl}")(s)
             srcs.append(s)
             masks.append(m)
+            # deformable's sine embedding is CENTERED (build_positional_
+            # encoding deformable_detr.py:557: center=True), unlike DETR's
             pos_embeds.append(position_embedding_sine(
-                m, num_pos_feats=self.hidden_dim // 2, dtype=self.dtype))
+                m, num_pos_feats=self.hidden_dim // 2, center=True,
+                dtype=self.dtype))
         # extra level: stride-2 conv on C5 (deformable_detr.py:241-252)
         if self.num_feature_levels > len(ms_feats):
             extra = nn.Conv(self.hidden_dim, (3, 3), strides=2, padding=1,
                             dtype=self.dtype, name="input_proj3")(ms_feats[-1][0])
-            extra = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+            extra = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                 dtype=self.dtype,
                                  name="input_proj_gn3")(extra)
             m_extra = jax.image.resize(
                 masks[-1], (masks[-1].shape[0], extra.shape[1], extra.shape[2]),
@@ -81,7 +85,8 @@ class DeformableDETR(nn.Module):
             srcs.append(extra)
             masks.append(m_extra)
             pos_embeds.append(position_embedding_sine(
-                m_extra, num_pos_feats=self.hidden_dim // 2, dtype=self.dtype))
+                m_extra, num_pos_feats=self.hidden_dim // 2, center=True,
+                dtype=self.dtype))
 
         query_embed = self.param("query_embed", nn.initializers.normal(1.0),
                                  (self.num_queries, 2 * self.hidden_dim))
@@ -137,13 +142,16 @@ class DeformableDETR(nn.Module):
         if self.return_intermediate:
             out["dec_outputs"] = hs
             out["enc_outputs"] = memory
-            # PanopticHead consumes a spatial memory map: un-flatten level 0
-            # (the finest scale) back to (B, H0, W0, C)
-            # (deformable_detr_panoptic/ wiring in the reference)
-            H0, W0 = spatial_shapes[0]
-            out["enc_outputs_spatial"] = memory[:, :H0 * W0].reshape(
-                memory.shape[0], H0, W0, self.hidden_dim)
-            out["feat_mask"] = masks[0]
+            # PanopticHead consumes level L-2 (the C5-projected scale): the
+            # reference exposes memory[-2] as enc_outputs and srcs[-2] as
+            # the projected source (deformable_detr.py:401 + :294)
+            plvl = len(srcs) - 2
+            start = sum(h * w for h, w in spatial_shapes[:plvl])
+            Hp, Wp = spatial_shapes[plvl]
+            out["enc_outputs_spatial"] = memory[:, start:start + Hp * Wp] \
+                .reshape(memory.shape[0], Hp, Wp, self.hidden_dim)
+            out["proj_src"] = srcs[plvl]
+            out["feat_mask"] = masks[plvl]
             out["bb_outputs"] = [f for f, _ in feats[:-3]]
             out["bb_masks"] = [m for _, m in feats[:-3]]
             out["srcs_masks"] = masks

@@ -37,16 +37,15 @@ def get_valid_ratios(masks: List[jnp.ndarray]) -> jnp.ndarray:
 def encoder_reference_points(spatial_shapes: Sequence[Tuple[int, int]],
                              valid_ratios: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel normalized reference points for every level
-    (deformable_transformer.py:130 get_reference_points).
-    Returns (B, Lv, L, 2)."""
+    (deformable_transformer.py:354 get_reference_points: each level's grid is
+    normalized by THAT level's valid ratio). Returns (B, Lv, L, 2)."""
     ref_list = []
-    for (H, W) in spatial_shapes:
+    for lvl, (H, W) in enumerate(spatial_shapes):
         ys, xs = jnp.meshgrid(
             jnp.linspace(0.5, H - 0.5, H), jnp.linspace(0.5, W - 0.5, W),
             indexing="ij")
-        # normalized by the VALID area of this level
-        ref_y = ys.reshape(-1)[None] / (valid_ratios[:, None, :, 1].mean(2) * H)
-        ref_x = xs.reshape(-1)[None] / (valid_ratios[:, None, :, 0].mean(2) * W)
+        ref_y = ys.reshape(-1)[None] / (valid_ratios[:, None, lvl, 1] * H)
+        ref_x = xs.reshape(-1)[None] / (valid_ratios[:, None, lvl, 0] * W)
         ref_list.append(jnp.stack([ref_x, ref_y], -1))
     ref = jnp.concatenate(ref_list, 1)               # (B, Lv, 2)
     return ref[:, :, None] * valid_ratios[:, None]   # (B, Lv, L, 2)

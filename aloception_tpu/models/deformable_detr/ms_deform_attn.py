@@ -35,9 +35,10 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     # core-op implementation (ops/ms_deform_attn.py): the Pallas one-hot
-    # MXU kernel measured fastest on TPU at both sites — encoder 49.5 vs
-    # 205 ('block') vs 463 ('fast') ms/layer, decoder 2.7 vs 7.6 vs 11.8 ms
-    # (B=8, 640px levels). Backward runs through the XLA 'fast' graph.
+    # MXU kernel is fastest on TPU at both sites — round-3 transposed
+    # construction: encoder 37 ms vs 205 ('block') / 463 ('fast'), decoder
+    # 1.5 vs 7.6 / 11.8 ms (bf16, B=8, 640px levels). Backward = autodiff
+    # of the 'block' formulation via the custom VJP.
     impl: str = "pallas"
     dtype: Any = jnp.float32
 

@@ -95,6 +95,9 @@ class Detr(nn.Module):
         if self.return_intermediate:
             out["dec_outputs"] = hs
             out["enc_outputs"] = memory.reshape(B, H, W, self.hidden_dim)
+            # reference bb_lvl3_src_outputs = input_proj(C5) (detr.py:168):
+            # the PanopticHead mask-head input plane
+            out["proj_src"] = src
             out["bb_outputs"] = [f for f, _ in feats[:-1]]
             out["bb_masks"] = [m for _, m in feats[:-1]]
             out["feat_mask"] = feat_mask

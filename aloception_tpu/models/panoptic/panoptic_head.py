@@ -48,7 +48,9 @@ class MHAttentionMap(nn.Module):
         if mask is not None:
             pad = mask.reshape(B, 1, 1, H * W) > 0.5
             scores = jnp.where(pad, -1e9, scores)
-        attn = jax.nn.softmax(scores, axis=-1)
+        # the reference normalizes over heads AND space JOINTLY
+        # (MHAttention.py:46 softmax(weights.flatten(2))), not per head
+        attn = jax.nn.softmax(scores.reshape(B, Nq, nH * H * W), axis=-1)
         return attn.reshape(B, Nq, nH, H, W).astype(self.dtype)
 
 
@@ -62,17 +64,22 @@ class MaskHeadSmallConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, fpns: List[jnp.ndarray]):
+        import math
         d = self.hidden_dim
         dims = [d, d // 2, d // 4, d // 8, d // 16]
 
         def conv_gn_relu(x, feats, name):
             x = nn.Conv(feats, (3, 3), padding=1, dtype=self.dtype,
                         name=f"{name}_conv")(x)
-            x = nn.GroupNorm(num_groups=min(8, feats), dtype=self.dtype,
-                             name=f"{name}_gn")(x)
+            # GroupNorm(8, .) like the reference (FPNstyle.py:27-35); fall
+            # back to the largest divisor <= 8 for small test configs
+            x = nn.GroupNorm(num_groups=math.gcd(8, feats), epsilon=1e-5,
+                             dtype=self.dtype, name=f"{name}_gn")(x)
             return nn.relu(x)
 
-        x = conv_gn_relu(x, dims[0], "lay1")
+        # lay1 keeps the INPUT width (hidden_dim + n_heads -> same, the
+        # reference's inter_dims[0] = dim, FPNstyle.py:25-26)
+        x = conv_gn_relu(x, x.shape[-1], "lay1")
         x = conv_gn_relu(x, dims[1], "lay2")
         for i, fpn in enumerate(fpns):
             cur = nn.Conv(dims[i + 1], (1, 1), dtype=self.dtype,
@@ -113,8 +120,11 @@ class PanopticHead(nn.Module):
                               dtype=self.dtype, name="bbox_attention")(
             hs, memory, feat_mask)                   # (B, Nq, nH, H, W)
 
-        src_proj = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
-                           name="input_proj")(memory)  # (B, H, W, C)
+        # mask-head input plane = the DETECTOR's input-projected C5 features
+        # (detr_panoptic.py:170 proj_src = bb_lvl3_src_outputs; the head has
+        # no projection of its own). Falls back to the encoder memory if a
+        # detector doesn't expose proj_src.
+        src_proj = m_outputs.get("proj_src", memory)   # (B, H, W, C)
         src_rep = jnp.repeat(src_proj, Nq, axis=0)     # (B*Nq, H, W, C)
         attn_maps = attn.reshape(B * Nq, self.num_heads, H, W)
         attn_maps = jnp.moveaxis(attn_maps, 1, -1)     # (B*Nq, H, W, nH)

@@ -261,14 +261,15 @@ def ms_deform_attn(value, value_spatial_shapes, sampling_locations,
                    attention_weights, impl: str = "fast"):
     """Dispatch between implementations:
 
-    - 'block': ONE (2,2,C) dynamic-slice per sample point (4x fewer gather
-      indices than 'fast'; fully differentiable) — the default.
-    - 'fast': XLA row gathers (take_along_axis).
     - 'pallas': gather-free MXU one-hot contraction kernel
-      (ops/pallas/ms_deform_attn_kernel.py) — candidate for the decoder's
-      small Len_q (quadratic in Len_q, so not for the encoder);
-      differentiable via a custom VJP that runs the backward through the
-      'fast' graph.
+      (ops/pallas/ms_deform_attn_kernel.py) — the MODEL DEFAULT at both
+      sites (encoder + decoder; the factored-digit construction makes the
+      encoder linear in Len_v, and the round-3 transposed layout cut it a
+      further 2.3x). Differentiable via a custom VJP whose backward is the
+      autodiff of the 'block' formulation (_msda_pallas_bwd above).
+    - 'block': ONE (2,2,C) dynamic-slice per sample point (4x fewer gather
+      indices than 'fast'; fully differentiable).
+    - 'fast': XLA row gathers (take_along_axis).
     - 'lax': the pure-jnp reference semantics (parity oracle).
     """
     if impl == "pallas":

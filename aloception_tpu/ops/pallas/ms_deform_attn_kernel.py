@@ -8,15 +8,19 @@ selection becomes a one-hot coefficient plane (built on the VPU with
 compare+FMA passes, one per (point, corner)) and the sampling collapses to a
 single (Tq, HW_l) @ (HW_l, C) matmul on the MXU. No gathers anywhere.
 
-Cost model: MXU flops = Lq * Len_v * C per head (dense over the level), so
-this wins where Lq is small relative to the gather cost — the decoder
-(Lq=300). The encoder (Lq = Len_v ~ 1e4) would be quadratic; use
-``ms_deform_attn_fast`` (XLA row gathers) there. ``ms_deform_attn`` keeps
-both behind one interface.
+Cost model: the factored-digit one-hot (hw = m*128 + l) makes the
+coefficient construction O(Lq * 4P * (Mtot + 128)) on the VPU and turns
+sampling into one (Tq, Len_p) @ (Len_p, C) MXU matmul per tile — linear in
+Len_v, fast enough to be the default at BOTH sites (encoder Lq ~ 1e4 and
+decoder Lq = 300). Round-3: the transposed construction (iota on sublanes,
+indices lane-resident) cut the encoder op 87 -> 37 ms and the decoder
+5.6 -> 1.5 ms (bf16, B=8, 640px levels; scripts/exp_msda2.py ablation).
 
 Parity: bit-matches ms_deform_attn_lax (same align_corners=False,
 zero-padding semantics); tested in tests/test_pallas_kernels.py (interpret
-mode on CPU) and on real TPU by scripts/bench_msda.py.
+mode on CPU) and on real TPU by scripts/tpu_parity_msda.py — run that
+script after ANY change here (interpret mode does not validate the real
+lowering on this backend).
 """
 
 from __future__ import annotations
@@ -149,13 +153,18 @@ def _kernel(value_ref, idx_ref, cw_ref, out_ref, *, shapes, starts, P):
         lo = jnp.concatenate(los, axis=1)
         cw = jnp.concatenate(cws, axis=1)
         nJ = hi.shape[1]
-        iota_m = jax.lax.broadcasted_iota(jnp.int32, (Tq, nJ, Mtot), 2)
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (Tq, nJ, _LANE), 2)
-        Ha = jnp.where(iota_m == hi[:, :, None], cw[:, :, None], 0.0)
-        Lb = jnp.where(iota_l == lo[:, :, None], 1.0, 0.0)
+        # TRANSPOSED construction (round-3, scripts/exp_msda2.py): iota runs
+        # on the SUBLANE axis and hi/lo/cw stay lane-resident via [:, None, :]
+        # — Mosaic lowers this ~1.7x faster than the lane-axis iota with
+        # [:, :, None] broadcasts (which relayouts j from lanes to sublanes).
+        # The batched dot contracts the shared lane dim nJ instead.
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (Tq, Mtot, nJ), 1)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (Tq, _LANE, nJ), 1)
+        HaT = jnp.where(iota_m == hi[:, None, :], cw[:, None, :], 0.0)
+        LbT = jnp.where(iota_l == lo[:, None, :], 1.0, 0.0)
         coeff_big = jax.lax.dot_general(
-            Ha.astype(mm_dtype), Lb.astype(mm_dtype),
-            (((1,), (1,)), ((0,), (0,))),
+            HaT.astype(mm_dtype), LbT.astype(mm_dtype),
+            (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=prec)                            # (Tq, Mtot, 128)
         parts.append(coeff_big.reshape(Tq, end).astype(mm_dtype))

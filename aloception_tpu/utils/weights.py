@@ -191,6 +191,118 @@ def convert_detr_checkpoint(sd: Dict[str, np.ndarray], d_model: int = 256,
     return {"params": params}
 
 
+def _ln(sd, src):
+    return {"scale": sd[src + ".weight"], "bias": sd[src + ".bias"]}
+
+
+def _dense(sd, src):
+    return {"kernel": convert_linear(sd[src + ".weight"]),
+            "bias": sd[src + ".bias"]}
+
+
+def convert_deformable_checkpoint(sd: Dict[str, np.ndarray],
+                                  d_model: int = 256, nheads: int = 8,
+                                  num_enc: int = 6, num_dec: int = 6,
+                                  num_levels: int = 4,
+                                  with_box_refine: bool = False,
+                                  space_to_depth: bool = True
+                                  ) -> Dict[str, Any]:
+    """Deformable-DETR .pth (reference alonet/deformable_detr/
+    deformable_detr.py:70 + deformable_transformer.py:306/410 naming) ->
+    models/deformable_detr/DeformableDETR flax params.
+
+    MSDeformAttn sub-linears (ops/modules/ms_deform_attn.py:95-98) map 1:1
+    to the flax Dense modules; the decoder's torch nn.MultiheadAttention
+    goes through convert_mha. Without box refinement the reference clones
+    share storage (class_embed.0 == class_embed.1 ...), so only head 0 is
+    read."""
+    params: Dict[str, Any] = {}
+    params["backbone"] = convert_resnet50_backbone(
+        sd, space_to_depth=space_to_depth)
+    for lvl in range(num_levels):
+        params[f"input_proj{lvl}"] = {
+            "kernel": convert_conv(sd[f"input_proj.{lvl}.0.weight"]),
+            "bias": sd[f"input_proj.{lvl}.0.bias"]}
+        params[f"input_proj_gn{lvl}"] = _ln(sd, f"input_proj.{lvl}.1")
+    params["query_embed"] = sd["query_embed.weight"]
+
+    def msda(src):
+        return {name: _dense(sd, f"{src}.{name}")
+                for name in ("sampling_offsets", "attention_weights",
+                             "value_proj", "output_proj")}
+
+    tr: Dict[str, Any] = {
+        "level_embed": sd["transformer.level_embed"],
+        "reference_points": _dense(sd, "transformer.reference_points"),
+    }
+    for i in range(num_enc):
+        src = f"transformer.encoder.layers.{i}"
+        tr[f"encoder_layer{i}"] = {
+            "self_attn": msda(src + ".self_attn"),
+            "norm1": _ln(sd, src + ".norm1"),
+            "norm2": _ln(sd, src + ".norm2"),
+            "linear1": _dense(sd, src + ".linear1"),
+            "linear2": _dense(sd, src + ".linear2"),
+        }
+    for i in range(num_dec):
+        src = f"transformer.decoder.layers.{i}"
+        tr[f"decoder_layer{i}"] = {
+            "cross_attn": msda(src + ".cross_attn"),
+            "self_attn": convert_mha(sd, src + ".self_attn", d_model,
+                                     nheads),
+            "norm1": _ln(sd, src + ".norm1"),
+            "norm2": _ln(sd, src + ".norm2"),
+            "norm3": _ln(sd, src + ".norm3"),
+            "linear1": _dense(sd, src + ".linear1"),
+            "linear2": _dense(sd, src + ".linear2"),
+        }
+    params["transformer"] = tr
+
+    n_heads = num_dec if with_box_refine else 1
+    for i in range(n_heads):
+        params[f"class_embed{i}"] = _dense(sd, f"class_embed.{i}")
+        params[f"bbox_embed{i}"] = {
+            f"layer{j}": _dense(sd, f"bbox_embed.{i}.layers.{j}")
+            for j in range(3)}
+    return {"params": params}
+
+
+def convert_panoptic_checkpoint(sd: Dict[str, np.ndarray],
+                                space_to_depth: bool = True
+                                ) -> Dict[str, Any]:
+    """PanopticHead .pth (reference alonet/detr_panoptic/detr_panoptic.py:22,
+    'detr.'-prefixed detector + bbox_attention/mask_head) -> a dict with the
+    wrapped detector's variables under 'detr' and the flax PanopticHead
+    params under 'head' (models/panoptic/panoptic_head.py naming)."""
+    detr_sd = {k[len("detr."):]: v for k, v in sd.items()
+               if k.startswith("detr.")}
+    out: Dict[str, Any] = {
+        "detr": convert_detr_checkpoint(detr_sd,
+                                        space_to_depth=space_to_depth)}
+
+    head: Dict[str, Any] = {
+        "bbox_attention": {
+            "q_linear": _dense(sd, "bbox_attention.q_linear"),
+            "k_linear": _dense(sd, "bbox_attention.k_linear"),
+        }
+    }
+    mh: Dict[str, Any] = {}
+    for i in range(1, 6):
+        mh[f"lay{i}_conv"] = {
+            "kernel": convert_conv(sd[f"mask_head.lay{i}.weight"]),
+            "bias": sd[f"mask_head.lay{i}.bias"]}
+        mh[f"lay{i}_gn"] = _ln(sd, f"mask_head.gn{i}")
+    for i in range(1, 4):
+        mh[f"adapter{i}"] = {
+            "kernel": convert_conv(sd[f"mask_head.adapter{i}.weight"]),
+            "bias": sd[f"mask_head.adapter{i}.bias"]}
+    mh["out_lay"] = {"kernel": convert_conv(sd["mask_head.out_lay.weight"]),
+                     "bias": sd["mask_head.out_lay.bias"]}
+    head["mask_head"] = mh
+    out["head"] = {"params": head}
+    return out
+
+
 def convert_raft_checkpoint(sd: Dict[str, np.ndarray],
                             small: bool = False) -> Dict[str, Any]:
     """RAFT .pth (reference alonet/raft/raft.py:208 RAFT / raft_small.py:8
