@@ -67,13 +67,26 @@ class CrowdHumanDataset(SplitMixin, BaseDataset):
         with open(ann_file) as f:
             for line in f:
                 rec = json.loads(line)
+                gtboxes = rec.get("gtboxes", [])
+                # records kept only with 2..50 raw gtboxes, like the
+                # reference (crowd_human_dataset.py:94)
+                if not 2 <= len(gtboxes) <= 50:
+                    continue
                 kept = []
-                for g in rec.get("gtboxes", []):
+                for g in gtboxes:
                     if g.get("tag") != "person":
                         continue  # "mask" regions -> ignored (load_gt tag=-1)
                     if g.get("extra", {}).get("ignore", 0) != 0:
                         continue
-                    kept.append({bt: g.get(bt) for bt in self.bbox_types})
+                    # skip annotations missing a requested type or with a
+                    # degenerate primary box (w/h <= 0) — zero-size boxes
+                    # must not reach training as valid 'person' targets
+                    if any(g.get(bt) is None for bt in self.bbox_types):
+                        continue
+                    pb = g[self.box_key]
+                    if pb[2] <= 0 or pb[3] <= 0:
+                        continue
+                    kept.append({bt: g[bt] for bt in self.bbox_types})
                 self.items.append({"ID": rec["ID"], "gt": kept})
 
     def _getitem_sample(self, idx: int) -> Frame:

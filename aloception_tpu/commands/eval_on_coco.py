@@ -14,7 +14,8 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser(__doc__)
-    p.add_argument("--model", default="detr", choices=["detr", "deformable"])
+    p.add_argument("--model", default="detr",
+                   choices=["detr", "deformable", "panoptic"])
     p.add_argument("--sample", action="store_true")
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--size", type=int, nargs=2, default=(480, 640))
@@ -34,13 +35,27 @@ def main(argv=None):
     import numpy as np
     import jax.numpy as jnp
     from aloception_tpu.train import CocoDetection2Detr
-    from aloception_tpu.metrics import ApMetrics
+    from aloception_tpu.metrics import ApMetrics, PQMetrics
 
     dm = CocoDetection2Detr(batch_size=args.batch_size, sample=args.sample,
+                            return_masks=args.model == "panoptic",
                             size=tuple(args.size))
     n_cls = len(dm.label_names) if dm.label_names else 91
 
-    if args.model == "detr":
+    if args.model == "panoptic":
+        from aloception_tpu.models.detr import Detr
+        from aloception_tpu.models.panoptic import (DetrPanoptic,
+                                                    inference_with_masks)
+        detector = Detr(
+            num_classes=n_cls, hidden_dim=64, num_queries=20, nheads=4,
+            num_encoder_layers=2, num_decoder_layers=2, dim_feedforward=128,
+            stage_sizes=(1, 1, 1, 1), return_intermediate=True) \
+            if args.tiny else None
+        model = DetrPanoptic(detector=detector, num_classes=n_cls)
+        num_queries = detector.num_queries if detector else 100
+        inference = lambda o: inference_with_masks(
+            o, threshold=args.threshold, background_class=n_cls)
+    elif args.model == "detr":
         from aloception_tpu.models.detr import Detr, detr_r50
         from aloception_tpu.models.detr import inference as inf
         model = Detr(num_classes=n_cls, hidden_dim=64, num_queries=20,
@@ -62,11 +77,14 @@ def main(argv=None):
                                                   with_box_refine=True)
         inference = lambda o: inf(o, threshold=max(args.threshold, 0.2))
 
-    dm.max_targets = min(dm.max_targets, model.num_queries)
+    if args.model != "panoptic":
+        num_queries = model.num_queries
+    dm.max_targets = min(dm.max_targets, num_queries)
     loader = dm.val_dataloader()
     params = None
     apply = jax.jit(lambda p, i, m: model.apply(p, i, m))
     metrics = ApMetrics()
+    pq_metrics = PQMetrics() if args.model == "panoptic" else None
 
     for i, frames_list in enumerate(loader):
         if args.limit_batches and i >= args.limit_batches:
@@ -87,15 +105,31 @@ def main(argv=None):
                       f"{ckpt.best_step() if args.best else ckpt.last_step()}")
         out = jax.device_get(apply(params, jnp.asarray(images),
                                    jnp.asarray(mask)))
-        p_boxes = inference(out)
+        preds = inference(out)
         frames = prepared["frames"]
         gt_list = frames.boxes2d if isinstance(frames.boxes2d, list) \
             else [frames.boxes2d]
-        for pb, tb in zip(p_boxes, gt_list):
-            if tb is not None:
-                metrics.add_sample(pb, tb)
+        if pq_metrics is not None:
+            seg_slot = frames.get_child("segmentation")
+            seg_list = seg_slot if isinstance(seg_slot, list) else [seg_slot]
+            for (pb, pm), tb, seg in zip(preds, gt_list, seg_list):
+                if tb is not None:
+                    metrics.add_sample(pb, tb)
+                if seg is not None and not isinstance(seg, dict):
+                    pq_metrics.add_sample(pm, seg)
+        else:
+            for pb, tb in zip(preds, gt_list):
+                if tb is not None:
+                    metrics.add_sample(pb, tb)
 
     all_maps, per_class = metrics.calc_map(print_result=True)
+    if pq_metrics is not None:
+        # reference prints the PQ/SQ/RQ table at eval end (compute_pq.py:79)
+        pq_all = pq_metrics.pq_average(isthing=None, print_result=True)
+        pq_metrics.pq_average(isthing=True, print_result=True)
+        pq_metrics.pq_average(isthing=False, print_result=True)
+        print(f"[eval_on_coco] PQ={pq_all['pq']:.3f} SQ={pq_all['sq']:.3f} "
+              f"RQ={pq_all['rq']:.3f}")
     print(f"[eval_on_coco] AP={all_maps['all']['all']:.2f} "
           f"AP50={all_maps['all'][50]:.2f}")
     return all_maps

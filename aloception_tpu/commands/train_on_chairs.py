@@ -32,8 +32,10 @@ def main(argv=None):
 
     dm = Data2RAFT(batch_size=args.batch_size, num_workers=args.num_workers,
                    sample=args.sample)
+    # OneCycleLR over max_steps + 100 when a step budget is given, exactly
+    # like the reference (alonet/raft/train.py:76-86)
     kwargs = dict(data_module=dm, small=args.small, iters=args.iters,
-                  log=args.log, run_id=args.run_id)
+                  log=args.log, run_id=args.run_id, num_steps=args.max_steps)
     if args.tiny:
         from aloception_tpu.models.raft import RAFT
         kwargs["model"] = RAFT(hidden_dim=32, context_dim=32, corr_levels=2,

@@ -15,7 +15,8 @@ import argparse
 
 def add_argparse_args(p: argparse.ArgumentParser):
     """(shared flags, pl_helpers.py:41-130 + detr/train.py:61)"""
-    p.add_argument("--model", default="detr", choices=["detr", "deformable"])
+    p.add_argument("--model", default="detr",
+                   choices=["detr", "deformable", "panoptic"])
     p.add_argument("--sample", action="store_true",
                    help="use offline synthetic COCO sample fixtures")
     p.add_argument("--train_on_val", action="store_true")
@@ -52,18 +53,22 @@ def main(argv=None):
     import jax.numpy as jnp
     from aloception_tpu.train import (
         CocoDetection2Detr, make_detr_trainer, make_deformable_detr_trainer,
-        MetricsCallback, ApMetricsCallback)
+        make_panoptic_trainer, MetricsCallback, ApMetricsCallback,
+        PQMetricsCallback)
 
     dm = CocoDetection2Detr(batch_size=args.batch_size,
                             num_workers=args.num_workers,
                             train_on_val=args.train_on_val,
                             sample=args.sample,
+                            return_masks=args.model == "panoptic",
                             size=None if args.multiscale else tuple(args.size))
     kwargs = dict(
         data_module=dm, run_id=args.run_id, expe_name=args.expe_name,
         log=args.log, tp=args.tp,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        callbacks=[MetricsCallback(), ApMetricsCallback()])
+        callbacks=[MetricsCallback(),
+                   PQMetricsCallback() if args.model == "panoptic"
+                   else ApMetricsCallback()])
     if args.project:
         kwargs["project"] = args.project
     if args.lr:
@@ -73,24 +78,36 @@ def main(argv=None):
         kwargs["limit_val_batches"] = 1
         args.max_epochs = 1
 
+    n_cls = len(dm.label_names) if dm.label_names else 91
     if args.tiny:
         if args.model == "detr":
             from aloception_tpu.models.detr import Detr
-            n_cls = len(dm.label_names) if dm.label_names else 91
             kwargs["model"] = Detr(
                 num_classes=n_cls, hidden_dim=64, num_queries=20, nheads=4,
                 num_encoder_layers=2, num_decoder_layers=2,
                 dim_feedforward=128, stage_sizes=(1, 1, 1, 1))
-        else:
+        elif args.model == "deformable":
             from aloception_tpu.models.deformable_detr import DeformableDETR
-            n_cls = len(dm.label_names) if dm.label_names else 91
             kwargs["model"] = DeformableDETR(
                 num_classes=n_cls, hidden_dim=64, num_queries=20, nheads=4,
                 num_encoder_layers=2, num_decoder_layers=2,
                 dim_feedforward=128, stage_sizes=(1, 1, 1, 1),
                 with_box_refine=True)
-    make = make_detr_trainer if args.model == "detr" \
-        else make_deformable_detr_trainer
+        else:
+            from aloception_tpu.models.detr import Detr
+            kwargs["detector"] = Detr(
+                num_classes=n_cls, hidden_dim=64, num_queries=20, nheads=4,
+                num_encoder_layers=2, num_decoder_layers=2,
+                dim_feedforward=128, stage_sizes=(1, 1, 1, 1),
+                return_intermediate=True)
+    if args.model == "panoptic":
+        # LitPanopticDetr trains only the head on a frozen detector
+        # (reference alonet/detr_panoptic/train.py:13)
+        kwargs.pop("model", None)
+        make = make_panoptic_trainer
+    else:
+        make = make_detr_trainer if args.model == "detr" \
+            else make_deformable_detr_trainer
     trainer = make(**kwargs)
     trainer.fit(dm.train_dataloader(), dm.val_dataloader(),
                 max_epochs=args.max_epochs, max_steps=args.max_steps,

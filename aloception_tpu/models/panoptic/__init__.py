@@ -1,3 +1,4 @@
 from .panoptic_head import (PanopticHead, MHAttentionMap,  # noqa: F401
-                            MaskHeadSmallConv, inference_with_masks)
+                            MaskHeadSmallConv, DetrPanoptic,
+                            inference_with_masks)
 from .criterion import panoptic_criterion, dice_loss, focal_mask_loss  # noqa: F401

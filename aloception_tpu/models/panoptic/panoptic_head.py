@@ -141,6 +141,37 @@ class PanopticHead(nn.Module):
         return out
 
 
+class DetrPanoptic(nn.Module):
+    """Detector + PanopticHead in one module (detr_panoptic.py:22 wraps the
+    DETR-family detector; :80 freezes it by default so only the head trains
+    — here freezing = stop_gradient on the detector outputs, and the
+    optimizer can additionally mask the subtree).
+
+    ``detector`` is an UNBOUND flax module (or None for a default full
+    DETR-R50); as a dataclass field it is auto-adopted by flax as the
+    child named "detector" (param subtree params/detector/...)."""
+    detector: Optional[nn.Module] = None
+    num_classes: int = 250
+    freeze_detector: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, mask=None, deterministic=True):
+        if self.detector is not None:
+            det = self.detector
+        else:
+            from ..detr import Detr
+            det = Detr(num_classes=self.num_classes, return_intermediate=True,
+                       dtype=self.dtype, name="detector")
+        out = det(images, mask, deterministic=deterministic)
+        if self.freeze_detector:
+            out = jax.tree.map(
+                lambda x: jax.lax.stop_gradient(x)
+                if hasattr(x, "dtype") else x, out)
+        return PanopticHead(hidden_dim=det.hidden_dim, num_heads=det.nheads,
+                            dtype=self.dtype, name="panoptic_head")(out)
+
+
 def inference_with_masks(m_outputs: Dict, threshold: float = 0.0,
                          background_class: Optional[int] = None,
                          activation_fn: str = "softmax",

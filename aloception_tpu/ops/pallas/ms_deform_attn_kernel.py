@@ -265,6 +265,15 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
     value_h = _pad_value_levels(value.transpose(0, 2, 1, 3), shapes)
     Len_p = value_h.shape[2]
 
+    # Fusion barrier (measured, not defensive): when loc comes from in-graph
+    # computation (the MSDeformAttn module's offsets matmul + broadcast),
+    # XLA fuses that producer chain into the prep's per-level slices and the
+    # op goes 70 -> 126 ms (B=16 640px encoder). Materializing the prep
+    # outputs here recovers most of it (126 -> 88 ms); with loc as a device
+    # constant the op is 70 ms either way. /tmp-gap experiments, round 3.
+    if not interpret:
+        value_h, idx, cw = jax.lax.optimization_barrier((value_h, idx, cw))
+
     kernel = functools.partial(_kernel, shapes=shapes, starts=starts, P=P)
     out = pl.pallas_call(
         kernel,

@@ -1,4 +1,5 @@
-from .state import TrainState, make_optimizer, make_train_state  # noqa: F401
+from .state import (TrainState, make_optimizer, make_train_state,  # noqa: F401
+                    onecycle_schedule)
 from .step import make_detr_train_step, make_eval_step  # noqa: F401
 from .trainer import Trainer  # noqa: F401
 from .experiment import get_expe_infos, params_update  # noqa: F401

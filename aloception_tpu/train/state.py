@@ -44,26 +44,58 @@ def _is_backbone(path) -> bool:
     return any(str(n) == "backbone" for n in _path_names(path))
 
 
+def onecycle_schedule(peak_lr: float, total_steps: int,
+                      pct_start: float = 0.05, div_factor: float = 25.0,
+                      final_div_factor: float = 1e4) -> Callable:
+    """torch OneCycleLR with anneal_strategy='linear' (the RAFT schedule,
+    reference alonet/raft/train.py:79-86): linear warmup peak/div_factor ->
+    peak over pct_start, then linear anneal to peak/div_factor/
+    final_div_factor. Returns an optax-style step -> lr callable."""
+    import jax.numpy as _jnp
+    init = peak_lr / div_factor
+    final = init / final_div_factor
+    warm = max(1, int(total_steps * pct_start))
+    down_steps = max(1, total_steps - warm)
+
+    def schedule(step):
+        s = _jnp.minimum(step, total_steps).astype(_jnp.float32)
+        up = init + (peak_lr - init) * (s / warm)
+        down = peak_lr + (final - peak_lr) * ((s - warm) / down_steps)
+        return _jnp.where(s < warm, up, down)
+
+    return schedule
+
+
 def make_optimizer(lr: float = 1e-4, lr_backbone: float = 1e-5,
                    weight_decay: float = 1e-4, grad_clip: float = 0.1,
                    accumulate_steps: int = 1,
-                   schedule: Optional[Callable] = None) -> optax.GradientTransformation:
-    """AdamW with per-group LR via optax.masked chains (train.py:202-218)."""
+                   schedule: Optional[Callable] = None,
+                   freeze_prefixes: tuple = ()) -> optax.GradientTransformation:
+    """AdamW with per-group LR via optax.masked chains (train.py:202-218).
+
+    ``freeze_prefixes``: param-path names whose subtrees are fully frozen —
+    grads zeroed AND excluded from both adamw groups, so decoupled weight
+    decay cannot drift them (torch requires_grad=False semantics; used for
+    PanopticHead's frozen detector, reference detr_panoptic.py:80)."""
     main_lr = schedule if schedule is not None else lr
     scale = lr_backbone / lr if lr > 0 else 1.0
 
+    def _is_frozen(path) -> bool:
+        return _is_frozen_bn(path) or any(
+            str(n) in freeze_prefixes for n in _path_names(path))
+
     def backbone_mask(params):
         return jax.tree_util.tree_map_with_path(
-            lambda path, _: _is_backbone(path) and not _is_frozen_bn(path), params)
+            lambda path, _: _is_backbone(path) and not _is_frozen(path), params)
 
     def head_mask(params):
         return jax.tree_util.tree_map_with_path(
-            lambda path, _: (not _is_backbone(path)) and not _is_frozen_bn(path),
+            lambda path, _: (not _is_backbone(path)) and not _is_frozen(path),
             params)
 
     def frozen_mask(params):
         return jax.tree_util.tree_map_with_path(
-            lambda path, _: _is_frozen_bn(path), params)
+            lambda path, _: _is_frozen(path), params)
 
     # Frozen-BN grads are zeroed FIRST: optax.masked passes unmasked updates
     # through unchanged, so without this the raw (clipped) gradient would leak

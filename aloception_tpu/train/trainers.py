@@ -80,15 +80,25 @@ def _raft_criterion(flow_preds, targets, gamma: float = 0.8):
 
 def make_raft_trainer(small: bool = False, iters: int = 12,
                       data_module: Optional[Data2RAFT] = None, model=None,
+                      num_steps: Optional[int] = None,
                       dtype=jnp.float32, **trainer_kwargs) -> Trainer:
-    """(raft/train.py:11 LitRAFT; OneCycleLR in the reference — constant lr
-    with clipping here, schedule pluggable via make_optimizer)."""
+    """(raft/train.py:11 LitRAFT). ``num_steps`` set -> OneCycleLR over
+    num_steps + 100 exactly like the reference (train.py:79-86: pct_start
+    0.05, linear anneal, scheduler only when max_steps is given)."""
     dm = data_module or Data2RAFT(sample=True)
     if model is None:
         model = raft_small(dtype=dtype) if small else RAFT(dtype=dtype)
     trainer_kwargs.setdefault("lr", 4e-4)
     trainer_kwargs.setdefault("grad_clip", 1.0)
     trainer_kwargs.setdefault("project", "raft")
+    if num_steps is not None and "optimizer" not in trainer_kwargs:
+        from .state import make_optimizer, onecycle_schedule
+        lr = trainer_kwargs["lr"]
+        trainer_kwargs["optimizer"] = make_optimizer(
+            lr=lr, lr_backbone=lr, weight_decay=1e-4,
+            grad_clip=trainer_kwargs["grad_clip"],
+            accumulate_steps=trainer_kwargs.get("accumulate_grad_batches", 1),
+            schedule=onecycle_schedule(lr, num_steps + 100))
     trainer = Trainer(
         model=model,
         criterion=_raft_criterion,
@@ -108,54 +118,31 @@ def make_panoptic_trainer(num_classes: int = 250, data_module=None,
     The returned Trainer's model is a composite flax-less callable pair; the
     criterion composes the detection losses with DICE+focal mask losses.
     """
-    from functools import partial as _partial
-    import jax as _jax
-    import flax.linen as _nn
-    from ..models.detr import Detr
-    from ..models.panoptic import PanopticHead, panoptic_criterion
+    from ..models.panoptic import (DetrPanoptic, panoptic_criterion,
+                                   inference_with_masks)
     from .data_modules import CocoDetection2Detr
 
     dm = data_module or CocoDetection2Detr(sample=True, return_masks=True)
     n_cls = len(dm.label_names) if dm.label_names else num_classes
 
-    class DetrPanoptic(_nn.Module):
-        """Detector + head in one module (detr_panoptic.py:22 wrapping).
-        Freezing = stop_gradient on the detector outputs + the optimizer
-        masks its subtree (detr_panoptic.py:80 freezes by default).
-        NOTE: methods close over the factory's dtype/detector args (flax
-        dataclass fields cannot - class bodies do not see function scope)."""
-
-        @_nn.compact
-        def __call__(self, images, mask=None, deterministic=True):
-            # a module built outside compact is unbound; re-instantiating it
-            # HERE lets flax adopt it as a child of this module
-            if detector is not None:
-                import dataclasses as _dc
-                attrs = {f.name: getattr(detector, f.name)
-                         for f in _dc.fields(detector)
-                         if f.name not in ("parent", "name")}
-                det = type(detector)(**attrs, name="detector")
-            else:
-                det = Detr(num_classes=n_cls, return_intermediate=True,
-                           dtype=dtype, name="detector")
-            out = det(images, mask, deterministic=deterministic)
-            if freeze_detector:
-                out = _jax.tree.map(
-                    lambda x: _jax.lax.stop_gradient(x)
-                    if hasattr(x, "dtype") else x, out)
-            return PanopticHead(hidden_dim=det.hidden_dim,
-                                num_heads=det.nheads, dtype=dtype,
-                                name="panoptic_head")(out)
-
-    model = DetrPanoptic()
+    model = DetrPanoptic(detector=detector, num_classes=n_cls,
+                         freeze_detector=freeze_detector, dtype=dtype)
     n_queries = detector.num_queries if detector is not None else 100
     dm.max_targets = min(dm.max_targets, n_queries)
     trainer_kwargs.setdefault("project", "panoptic")
+    if freeze_detector and "optimizer" not in trainer_kwargs:
+        from .state import make_optimizer
+        trainer_kwargs["optimizer"] = make_optimizer(
+            lr=trainer_kwargs.get("lr", 1e-4),
+            lr_backbone=trainer_kwargs.get("lr_backbone", 1e-5),
+            grad_clip=trainer_kwargs.get("grad_clip", 0.1),
+            accumulate_steps=trainer_kwargs.get("accumulate_grad_batches", 1),
+            freeze_prefixes=("detector",))
     trainer = Trainer(
         model=model,
         criterion=panoptic_criterion,
         prepare_batch=_make_panoptic_prepare(dm),
-        inference_fn=None,
+        inference_fn=partial(inference_with_masks, background_class=n_cls),
         **trainer_kwargs)
     trainer.data_module = dm
     return trainer

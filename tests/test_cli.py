@@ -21,6 +21,28 @@ def test_eval_on_coco(capsys):
     assert "[eval_on_coco] AP=" in out
 
 
+def test_train_on_coco_panoptic_fast_dev_run(capsys):
+    """--model panoptic wires make_panoptic_trainer end to end
+    (reference alonet/detr_panoptic/train_on_coco.py)."""
+    from aloception_tpu.commands import train_on_coco
+    train_on_coco.main(["--cpu", "--sample", "--tiny", "--fast_dev_run",
+                        "--model", "panoptic", "--size", "64", "96",
+                        "--batch_size", "2"])
+    out = capsys.readouterr().out
+    assert "[train_on_coco] done: step=" in out
+    assert "PQ[all]" in out
+
+
+def test_eval_on_coco_panoptic(capsys):
+    """--model panoptic produces a PQ table from the eval CLI
+    (reference alonet/detr_panoptic/eval_on_coco.py)."""
+    from aloception_tpu.commands import eval_on_coco
+    eval_on_coco.main(["--cpu", "--sample", "--tiny", "--model", "panoptic",
+                       "--limit_batches", "1", "--size", "64", "96"])
+    out = capsys.readouterr().out
+    assert "[eval_on_coco] PQ=" in out
+
+
 def test_export_model_cli(tmp_path, capsys):
     import os
     from aloception_tpu.commands import export_model

@@ -9,7 +9,8 @@ import jax.numpy as jnp
 
 from aloception_tpu.models.detr import Detr
 from aloception_tpu.models.panoptic import (
-    PanopticHead, panoptic_criterion, inference_with_masks, dice_loss)
+    PanopticHead, DetrPanoptic, panoptic_criterion, inference_with_masks,
+    dice_loss)
 
 
 @pytest.fixture(scope="module")
@@ -76,6 +77,64 @@ def test_dice_loss_perfect_match():
     valid = jnp.ones(2)
     loss = float(dice_loss(logits, t, valid, 2.0))
     assert loss < 1e-3
+
+
+def test_panoptic_train_step_learns():
+    """Frozen-detector head training on a fixed 2-object scene must cut the
+    MASK losses (DICE + focal — the only ones the head can move,
+    detr_panoptic.py:80 freeze semantics) by >25% in 60 steps (measured
+    ~32%; a RANDOM frozen detector's attention maps bound how far the mask
+    head can go) — the panoptic analog of test_deformable.py's learning
+    regression."""
+    from aloception_tpu.train.state import make_train_state, make_optimizer
+
+    H, W = 64, 64
+    img = np.full((1, H, W, 3), 0.4, np.float32)
+    img[0, 8:24, 4:28] = [0.9, 0.1, 0.1]
+    img[0, 40:60, 36:60] = [0.1, 0.2, 0.9]
+    masks = np.zeros((1, 2, H, W), np.float32)
+    masks[0, 0, 8:24, 4:28] = 1
+    masks[0, 1, 40:60, 36:60] = 1
+    targets = {
+        "boxes": jnp.asarray([[[16 / W, 16 / H, 24 / W, 16 / H],
+                               [48 / W, 50 / H, 24 / W, 20 / H]]], jnp.float32),
+        "labels": jnp.asarray([[0, 2]], jnp.int32),
+        "valid": jnp.asarray([[True, True]]),
+        "masks": jnp.asarray(masks),
+    }
+    detector = Detr(num_classes=4, hidden_dim=32, num_queries=8, nheads=4,
+                    num_encoder_layers=1, num_decoder_layers=1,
+                    dim_feedforward=64, stage_sizes=(1, 1, 1, 1),
+                    return_intermediate=True, dropout=0.0)
+    model = DetrPanoptic(detector=detector, freeze_detector=True)
+    images = jnp.asarray(img)
+    params = model.init(jax.random.PRNGKey(0), images)
+    tx = make_optimizer(lr=3e-3, lr_backbone=3e-3, weight_decay=1e-4,
+                        grad_clip=0.1, freeze_prefixes=("detector",))
+    state = make_train_state(model, params, tx=tx)
+
+    @jax.jit
+    def step(state):
+        def loss_fn(p):
+            out = model.apply(p, images)
+            loss, metrics = panoptic_criterion(out, targets)
+            return loss, metrics
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads=grads), metrics
+
+    state, m0 = step(state)
+    for _ in range(60):
+        state, m = step(state)
+    mask0 = float(m0["loss_DICE"]) + float(m0["loss_focal"])
+    mask1 = float(m["loss_DICE"]) + float(m["loss_focal"])
+    assert mask1 < 0.75 * mask0, (mask0, mask1)
+    # the frozen detector's parameters must be untouched by training
+    det0 = params["params"]["detector"]
+    det1 = state.params["params"]["detector"]
+    deltas = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                          det0, det1)
+    assert jax.tree.reduce(max, deltas) == 0.0
 
 
 def test_inference_with_masks(detr_panoptic):

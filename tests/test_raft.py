@@ -158,3 +158,37 @@ def test_padder():
     xp = p.pad(x)
     assert xp.shape[1] % 8 == 0 and xp.shape[2] % 8 == 0
     assert p.unpad(xp).shape == x.shape
+
+
+def test_corr_lookup_onehot_matches_corr_lookup():
+    """corr_lookup_onehot is RAFT's default lookup (the gather-free MXU
+    reformulation, correlation.py:168); parity vs corr_lookup on random +
+    out-of-range coords, forward and gradient."""
+    from aloception_tpu.ops.correlation import corr_lookup_onehot
+
+    rng = np.random.RandomState(2)
+    f1 = rng.randn(2, 8, 12, 8).astype(np.float32)
+    f2 = rng.randn(2, 8, 12, 8).astype(np.float32)
+    vol = corr_volume(jnp.asarray(f1), jnp.asarray(f2))
+    pyr = corr_pyramid(vol, num_levels=3)
+    # coords straddling the borders (incl. fully out of range)
+    coords = jnp.asarray(
+        rng.uniform(-3, 15, (2, 8, 12, 2)).astype(np.float32))
+
+    ref = np.asarray(corr_lookup(pyr, coords, radius=3))
+    got = np.asarray(corr_lookup_onehot(pyr, coords, radius=3))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-5, np.abs(got - ref).max()
+
+    # gradient parity wrt pyramid AND coords
+    def loss_ref(p, c):
+        return (corr_lookup(p, c, radius=3) ** 2).sum()
+
+    def loss_one(p, c):
+        return (corr_lookup_onehot(p, c, radius=3) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(pyr, coords)
+    g_one = jax.grad(loss_one, argnums=(0, 1))(pyr, coords)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_one)):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        assert float(jnp.abs(a - b).max()) / scale < 2e-5

@@ -196,3 +196,20 @@ def test_train_step_learns_and_differentiates_queries():
     assert q0 != q1
     # distinct queries must predict distinct boxes (collapse => ~identical)
     assert np.abs(b0 - b1).sum() > 0.1, (b0, b1)
+
+
+def test_onecycle_schedule_shape():
+    """OneCycleLR analog (state.py onecycle_schedule) matches the torch
+    linear-anneal shape the reference trains RAFT with
+    (alonet/raft/train.py:79-86): warmup peak/25 -> peak over 5%, then
+    linear anneal to peak/25/1e4."""
+    from aloception_tpu.train import onecycle_schedule
+    peak, total = 4e-4, 1000
+    s = onecycle_schedule(peak, total, pct_start=0.05)
+    assert abs(float(s(0)) - peak / 25) < 1e-9
+    assert abs(float(s(50)) - peak) < 1e-8
+    assert float(s(total)) <= peak / 25 / 1e3
+    # monotone up then down, clamped past the end
+    assert float(s(25)) > float(s(0))
+    assert float(s(500)) < float(s(50))
+    assert float(s(total + 500)) == float(s(total))
