@@ -60,9 +60,17 @@ class CrowdHumanDataset(SplitMixin, BaseDataset):
                           for f in sorted(os.listdir(self.img_folder))
                           if f.lower().endswith((".jpg", ".jpeg", ".png"))]
             return
-        ann_name = "annotation_train.odgt" if split == Split.TRAIN \
+        self.ann_file = os.path.join(self.dataset_dir, self._ann_name())
+        # a "_prepared" dataset (see prepare()) stores RELATIVE boxes
+        self._rel_boxes = os.path.normpath(self.dataset_dir).endswith(
+            "_prepared")
+        self._load_items(self.ann_file)
+
+    def _ann_name(self) -> str:
+        return "annotation_train.odgt" if self.split == Split.TRAIN \
             else "annotation_val.odgt"
-        ann_file = os.path.join(self.dataset_dir, ann_name)
+
+    def _load_items(self, ann_file: str):
         self.items = []
         with open(ann_file) as f:
             for line in f:
@@ -102,6 +110,8 @@ class CrowdHumanDataset(SplitMixin, BaseDataset):
         return frame
 
     def _to_rel_xcyc(self, raw: List, H: int, W: int) -> np.ndarray:
+        if self._rel_boxes:   # prepared annotations are already relative
+            H = W = 1.0
         boxes = []
         for b in raw:
             if b is None:
@@ -110,6 +120,103 @@ class CrowdHumanDataset(SplitMixin, BaseDataset):
             x, y, w, h = b
             boxes.append([(x + w / 2) / W, (y + h / 2) / H, w / W, h / H])
         return np.asarray(boxes, np.float32).reshape(-1, 4)
+
+    def prepare(self, short_side: int = 800, max_size: int = 1333) -> str:
+        """Downscale the huge (often 4K) CrowdHuman images once on disk and
+        rewrite the annotations with RELATIVE boxes, mirroring the reference
+        converter (crowd_human_dataset.py:276 prepare -> :168 _prepare):
+
+        - every image whose longest side exceeds ``max_size`` is resized
+          with aspect ratio kept (scale = min(short/min_side, max/max_side),
+          the reference's RandomResizeWithAspectRatio([800], max_size=1333)
+          rule, :228); smaller images are copied as-is
+        - all box types (fbox/vbox/hbox) are divided by the ORIGINAL W/H
+          (:243-264), so they stay valid at any prepared resolution
+        - work happens in a sibling ``.wip_<name>_prepared`` dir, which is
+          merged into ``<name>_prepared`` at the end; the dataset config is
+          repointed there and this instance reloads from it (:270-273)
+
+        Idempotent: already-converted files are skipped, and a dataset dir
+        that is itself ``*_prepared`` returns immediately. Returns the
+        prepared dataset dir."""
+        import shutil
+        import cv2
+
+        if self.sample or self.split == Split.TEST or self._rel_boxes:
+            return self.dataset_dir
+        src = os.path.normpath(self.dataset_dir)
+        base, name = os.path.split(src)
+        wip = os.path.join(base, f".wip_{name}_prepared")
+        prepared = os.path.join(base, f"{name}_prepared")
+        split_folder = self.get_split_folder()
+        tgt_img = os.path.join(wip, split_folder, "Images")
+        fin_img = os.path.join(prepared, split_folder, "Images")
+        os.makedirs(tgt_img, exist_ok=True)
+
+        sizes = {}
+        for f_name in sorted(os.listdir(self.img_folder)):
+            if not f_name.lower().endswith((".jpg", ".jpeg", ".png")):
+                continue
+            img = cv2.imread(os.path.join(self.img_folder, f_name))
+            if img is None:
+                continue
+            h, w = img.shape[:2]
+            sizes[os.path.splitext(f_name)[0]] = (h, w)
+            if os.path.exists(os.path.join(tgt_img, f_name)) \
+                    or os.path.exists(os.path.join(fin_img, f_name)):
+                continue
+            if max(h, w) > max_size:
+                scale = min(short_side / min(h, w), max_size / max(h, w))
+                img = cv2.resize(
+                    img, (int(round(w * scale)), int(round(h * scale))),
+                    interpolation=cv2.INTER_LINEAR)
+                cv2.imwrite(os.path.join(tgt_img, f_name), img)
+            else:
+                shutil.copyfile(os.path.join(self.img_folder, f_name),
+                                os.path.join(tgt_img, f_name))
+
+        tgt_ann = os.path.join(wip, self._ann_name())
+        fin_ann = os.path.join(prepared, self._ann_name())
+        if not os.path.exists(tgt_ann) and not os.path.exists(fin_ann):
+            out_lines = []
+            with open(self.ann_file) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    hw = sizes.get(rec["ID"])
+                    for g in rec.get("gtboxes", []):
+                        for bt in ("fbox", "vbox", "hbox"):
+                            b = g.get(bt)
+                            if b is None or hw is None:
+                                continue
+                            H, W = hw
+                            g[bt] = [b[0] / W, b[1] / H, b[2] / W, b[3] / H]
+                    out_lines.append(json.dumps(rec))
+            with open(tgt_ann, "w") as f:
+                f.write("\n".join(out_lines))
+
+        # merge wip into prepared (reference fs.move_and_replace)
+        for root, _, files in os.walk(wip):
+            rel = os.path.relpath(root, wip)
+            dst_dir = os.path.join(prepared, rel) if rel != "." else prepared
+            os.makedirs(dst_dir, exist_ok=True)
+            for f_name in files:
+                dst = os.path.join(dst_dir, f_name)
+                if os.path.exists(dst):
+                    os.remove(dst)
+                shutil.move(os.path.join(root, f_name), dst)
+        shutil.rmtree(wip, ignore_errors=True)
+
+        from .base_dataset import load_dataset_config, save_dataset_config
+        cfg = load_dataset_config()
+        cfg[self.name] = prepared
+        save_dataset_config(cfg)
+
+        self.dataset_dir = prepared
+        self.img_folder = fin_img
+        self.ann_file = fin_ann
+        self._rel_boxes = True
+        self._load_items(self.ann_file)
+        return prepared
 
     def getitem(self, idx: int) -> Frame:
         if self.sample:

@@ -180,3 +180,53 @@ def test_woodscape_split_dataset(tmp_path):
                                           split=Split.VAL)
     assert len(tr) > 0 and len(va) > 0
     assert not set(tr.items) & set(va.items)
+
+
+def test_crowdhuman_prepare_roundtrip(tmp_path):
+    """prepare() mirrors the reference disk converter
+    (crowd_human_dataset.py:276): >1333px images downscaled with aspect
+    kept, small ones copied, annotations rewritten RELATIVE, config/instance
+    repointed to <dir>_prepared — and box geometry survives the roundtrip."""
+    root = tmp_path / "crowd"
+    img_dir = root / "CrowdHuman_train" / "Images"
+    # "4K-ish" image + one already-small image
+    _png(str(img_dir / "big.jpg"), hw=(1500, 2000))
+    _png(str(img_dir / "small.jpg"), hw=(40, 60))
+    recs = []
+    for iid, (H, W) in (("big", (1500, 2000)), ("small", (40, 60))):
+        gt = [{"tag": "person",
+               "fbox": [W * 0.1, H * 0.2, W * 0.3, H * 0.4]},
+              {"tag": "person",
+               "fbox": [W * 0.5, H * 0.5, W * 0.2, H * 0.3]}]
+        recs.append({"ID": iid, "gtboxes": gt})
+    with open(root / "annotation_train.odgt", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in recs))
+
+    ds = alodataset.CrowdHumanDataset(dataset_dir=str(root), split=Split.TRAIN)
+    before = [np.asarray(ds.getitem(i).boxes2d.array) for i in range(len(ds))]
+
+    prepared = ds.prepare()
+    assert prepared.endswith("_prepared") and os.path.isdir(prepared)
+    assert ds._rel_boxes and ds.dataset_dir == prepared
+
+    big = cv2.imread(os.path.join(prepared, "CrowdHuman_train", "Images",
+                                  "big.jpg"))
+    small = cv2.imread(os.path.join(prepared, "CrowdHuman_train", "Images",
+                                    "small.jpg"))
+    assert max(big.shape[:2]) <= 1333            # downscaled
+    assert small.shape[:2] == (40, 60)           # copied untouched
+    # aspect ratio preserved (2000/1500 = 4/3)
+    assert abs(big.shape[1] / big.shape[0] - 4 / 3) < 0.01
+
+    # annotations now relative in the prepared odgt
+    with open(os.path.join(prepared, "annotation_train.odgt")) as f:
+        rec = json.loads(f.readline())
+    assert all(0.0 <= v <= 1.0 for v in rec["gtboxes"][0]["fbox"])
+
+    # the reloaded items yield the SAME relative geometry as before
+    after = [np.asarray(ds.getitem(i).boxes2d.array) for i in range(len(ds))]
+    for b0, b1 in zip(before, after):
+        assert np.abs(b0 - b1).max() < 1e-5
+
+    # idempotent: second call is a no-op returning the same dir
+    assert ds.prepare() == prepared
