@@ -21,6 +21,14 @@ def main(argv=None):
     p.add_argument("--size", type=int, nargs=2, default=(480, 640))
     p.add_argument("--ckpt_dir", default=None,
                    help="experiment dir with checkpoints; random init if none")
+    p.add_argument("--run_id", default=None,
+                   help="resolve the checkpoint dir from a train run's "
+                        "run_id (the train CLI prints it; reference "
+                        "pl_helpers.py:222 load_training)")
+    p.add_argument("--project", default=None,
+                   help="narrow --run_id resolution to one project")
+    p.add_argument("--log_dir", default=None,
+                   help="experiment root for --run_id resolution")
     p.add_argument("--best", action="store_true", help="best ckpt (else last)")
     p.add_argument("--threshold", type=float, default=0.0)
     p.add_argument("--limit_batches", type=int, default=None)
@@ -36,6 +44,12 @@ def main(argv=None):
     import jax.numpy as jnp
     from aloception_tpu.train import CocoDetection2Detr
     from aloception_tpu.metrics import ApMetrics, PQMetrics
+
+    if args.run_id and not args.ckpt_dir:
+        from aloception_tpu.train import find_run_dir
+        args.ckpt_dir = find_run_dir(args.run_id, project=args.project,
+                                     log_dir=args.log_dir)
+        print(f"[eval] run_id {args.run_id} -> {args.ckpt_dir}")
 
     dm = CocoDetection2Detr(batch_size=args.batch_size, sample=args.sample,
                             return_masks=args.model == "panoptic",
@@ -96,11 +110,11 @@ def main(argv=None):
                                 jnp.asarray(images[:1]), jnp.asarray(mask[:1]))
             if args.ckpt_dir:
                 from aloception_tpu.train import CheckpointManager
-                from aloception_tpu.train.state import make_train_state
                 ckpt = CheckpointManager(args.ckpt_dir)
-                state = make_train_state(model, params)
-                state = ckpt.restore(state, best=args.best)
-                params = state.params
+                tree = ckpt.restore_tree(best=args.best)
+                params = dict(tree["params"])
+                if tree.get("batch_stats") is not None:
+                    params["batch_stats"] = tree["batch_stats"]
                 print(f"[eval] restored step "
                       f"{ckpt.best_step() if args.best else ckpt.last_step()}")
         out = jax.device_get(apply(params, jnp.asarray(images),

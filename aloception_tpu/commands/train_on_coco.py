@@ -36,6 +36,9 @@ def add_argparse_args(p: argparse.ArgumentParser):
     p.add_argument("--run_id", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--log", default=None, choices=[None, "tensorboard", "tb"])
+    p.add_argument("--log_dir", default=None,
+                   help="experiment root (default ~/.aloception_tpu/"
+                        "experiments via the alonet config)")
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel axis size")
     p.add_argument("--bf16", action="store_true")
@@ -71,6 +74,8 @@ def main(argv=None):
                    else ApMetricsCallback()])
     if args.project:
         kwargs["project"] = args.project
+    if args.log_dir:
+        kwargs["log_dir"] = args.log_dir
     if args.lr:
         kwargs["lr"] = args.lr
     if args.fast_dev_run:

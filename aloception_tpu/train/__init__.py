@@ -2,7 +2,8 @@ from .state import (TrainState, make_optimizer, make_train_state,  # noqa: F401
                     onecycle_schedule)
 from .step import make_detr_train_step, make_eval_step  # noqa: F401
 from .trainer import Trainer  # noqa: F401
-from .experiment import get_expe_infos, params_update  # noqa: F401
+from .experiment import (get_expe_infos, params_update,  # noqa: F401
+                         find_run_dir)
 from .checkpoint import CheckpointManager  # noqa: F401
 from .logger import make_logger, TensorBoardLogger, NoOpLogger  # noqa: F401
 from .callbacks import (Callback, MetricsCallback, ApMetricsCallback,  # noqa: F401

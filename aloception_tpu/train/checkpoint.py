@@ -96,3 +96,16 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoints under {self.ckpt_dir}")
         path = os.path.join(self.ckpt_dir, str(step))
         return self._ckptr.restore(path, target)
+
+    def restore_tree(self, step: Optional[int] = None,
+                     best: bool = False) -> Any:
+        """Restore the RAW checkpoint pytree, no target required — for
+        consumers that only need params/batch_stats (eval, export) and must
+        not have to reconstruct the training-time optimizer to read a
+        checkpoint (the reference loads weights the same way,
+        pl_helpers.py:222 load_training strict=False)."""
+        if step is None:
+            step = self.best_step() if best else self.last_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.ckpt_dir}")
+        return self._ckptr.restore(os.path.join(self.ckpt_dir, str(step)))

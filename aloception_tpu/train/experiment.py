@@ -59,6 +59,29 @@ def get_expe_infos(project: str, expe_name: str, log_dir: Optional[str] = None,
     return expe_name, run_id, ckpt_dir
 
 
+def find_run_dir(run_id: str, project: Optional[str] = None,
+                 log_dir: Optional[str] = None) -> str:
+    """Locate a finished train run's checkpoint dir from its run_id — the
+    eval-from-a-train-run happy path (the reference resolves checkpoints
+    from run_id the same way, pl_helpers.py:222 load_training). Scans
+    ``<log_dir>/<project>/<expe_name>/<run_id>``; ``project=None`` scans
+    every project."""
+    base = resolve_log_dir(log_dir)
+    projects = [project] if project else sorted(os.listdir(base)) \
+        if os.path.isdir(base) else []
+    for proj in projects:
+        pdir = os.path.join(base, proj)
+        if not os.path.isdir(pdir):
+            continue
+        for expe in sorted(os.listdir(pdir)):
+            cand = os.path.join(pdir, expe, run_id)
+            if os.path.isdir(cand):
+                return cand
+    raise FileNotFoundError(
+        f"run_id {run_id!r} not found under {base}"
+        + (f" (project {project!r})" if project else ""))
+
+
 def params_update(obj, args=None, kwargs: Optional[dict] = None):
     """Reflect parsed args + kwargs into instance attributes, kwargs priority;
     records _init_kwargs_config for re-instantiation (pl_helpers.py:380-417)."""

@@ -52,3 +52,24 @@ def test_export_model_cli(tmp_path, capsys):
     assert os.path.exists(out_path)
     out = capsys.readouterr().out
     assert "[export] wrote" in out
+
+
+def test_train_then_eval_from_checkpoint(tmp_path, capsys):
+    """The documented happy path: train 2 steps, then eval FROM that run's
+    checkpoint by run_id (reference: pl_helpers.py:222 load_training +
+    eval_on_coco --run_id). The eval must restore the trained step and print
+    the AP table."""
+    from aloception_tpu.commands import train_on_coco, eval_on_coco
+    train_on_coco.main(["--cpu", "--sample", "--tiny", "--max_steps", "2",
+                        "--size", "64", "96", "--batch_size", "2",
+                        "--project", "clitest", "--run_id", "evalrun1",
+                        "--log_dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "[train_on_coco] done: step=2" in out
+    eval_on_coco.main(["--cpu", "--sample", "--tiny", "--limit_batches", "1",
+                       "--size", "64", "96", "--run_id", "evalrun1",
+                       "--project", "clitest", "--log_dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "[eval] run_id evalrun1 ->" in out
+    assert "[eval] restored step 2" in out
+    assert "[eval_on_coco] AP=" in out
