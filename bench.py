@@ -155,31 +155,131 @@ def bench_raft(args):
     }
 
 
+def _parity_gate() -> bool:
+    """Run the TPU-vs-CPU-oracle parity audits BEFORE any timing: the
+    round-2 backend-miscompile episode (DEVELOPMENT.md "silently WRONG on
+    real TPU") proved a wrong-but-fast kernel would otherwise record a
+    green BENCH number. Runs the scripts as subprocesses (exit-code
+    contract) so a crash also gates."""
+    import os
+    import subprocess
+    import sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    ok = True
+    for script in ("tpu_parity_msda.py", "tpu_parity_models.py"):
+        path = os.path.join(here, "scripts", script)
+        print(f"[bench] parity gate: {script} ...", file=sys.stderr,
+              flush=True)
+        r = subprocess.run([sys.executable, path], capture_output=True,
+                           text=True, timeout=1800)
+        sys.stderr.write(r.stdout[-2000:] + r.stderr[-500:])
+        ok &= r.returncode == 0
+    return ok
+
+
+def bench_train(args):
+    """DETR-R50 TRAINING steps/sec (fp32, the demonstrated learning config:
+    scripts/overfit_tpu.py reached AP 0.902 with it). One jitted lax.scan
+    block of K steps per dispatch — the production dispatch pattern on this
+    tunnel. Reference contract: training throughput is a first-class metric
+    (VERDICT round 2: 'training perf is unaccountable' without it)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from aloception_tpu.models.detr import Detr, detr_r50
+    from aloception_tpu.models.detr.criterion import detr_criterion
+    from aloception_tpu.train.state import make_optimizer, make_train_state
+
+    if args.tiny:
+        model = Detr(num_classes=4, hidden_dim=64, num_queries=20, nheads=4,
+                     num_encoder_layers=2, num_decoder_layers=2,
+                     dim_feedforward=128, stage_sizes=(1, 1, 1, 1),
+                     dropout=0.0)
+        B, size, K = 2, 96, 2
+    else:
+        model = detr_r50(num_classes=91, dropout=0.0)
+        B, size, K = 16, 384, 10
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, size, size, 3), jnp.float32)
+    mask = jnp.zeros((B, size, size), jnp.float32)
+    targets = {
+        "boxes": jnp.asarray(rng.rand(B, 4, 4), jnp.float32),
+        "labels": jnp.asarray(rng.randint(0, 4, (B, 4)), jnp.int32),
+        "valid": jnp.ones((B, 4), bool),
+    }
+    params = model.init(jax.random.PRNGKey(0), images[:1], mask[:1])
+    tx = make_optimizer(lr=1e-4, lr_backbone=1e-4, grad_clip=0.1)
+    state0 = make_train_state(model, params, tx=tx)
+
+    @jax.jit
+    def block(state):
+        def body(st, _):
+            def loss_fn(p):
+                out = model.apply(p, images, mask)
+                loss, _ = detr_criterion(out, targets)
+                return loss
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            return st.apply_gradients(grads=grads), loss
+        state, losses = jax.lax.scan(body, state, jnp.arange(K))
+        return state, losses
+
+    def fetch(state):
+        leaf = jax.tree.leaves(state.params)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
+    state, _ = block(state0)
+    fetch(state)  # compile + warm
+    t0 = time.perf_counter()
+    n_blocks = max(args.iters // K, 2)
+    for _ in range(n_blocks):
+        state, _ = block(state)
+    fetch(state)
+    dt = (time.perf_counter() - t0) / (n_blocks * K)
+    return {
+        "metric": f"detr_r50_train_steps_per_sec_bs{B}_{size}px_fp32",
+        "value": round(1.0 / dt, 3),
+        "unit": "steps/sec/chip",
+        "vs_baseline": None,
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--backend", default=None, help="force jax platform (cpu)")
     p.add_argument("--model", default="all",
-                   choices=["all", "detr", "raft", "deformable"])
+                   choices=["all", "detr", "raft", "deformable", "train"])
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--size", type=int, default=640)
     p.add_argument("--iters", type=int, default=16)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--tiny", action="store_true", help="tiny model (CPU smoke)")
+    p.add_argument("--skip_parity", action="store_true",
+                   help="skip the parity-before-perf gate (debug only)")
     args = p.parse_args()
 
     import jax
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
 
+    on_tpu = not args.backend or args.backend not in ("cpu",)
+    if on_tpu and not args.tiny and not args.skip_parity:
+        if not _parity_gate():
+            import sys
+            print("[bench] PARITY GATE FAILED — refusing to record perf "
+                  "numbers for kernels that do not match the CPU oracle.",
+                  file=sys.stderr, flush=True)
+            sys.exit(1)
+
     benches = {"detr": bench_detr, "raft": bench_raft,
-               "deformable": bench_deformable}
+               "deformable": bench_deformable, "train": bench_train}
     if args.model != "all":
         print(json.dumps(benches[args.model](args)))
         return
 
     extra = {}
     headline = bench_detr(args)
-    for name in ("raft", "deformable"):
+    for name in ("raft", "deformable", "train"):
         try:
             r = benches[name](args)
             extra[r["metric"]] = {"value": r["value"], "unit": r["unit"]}

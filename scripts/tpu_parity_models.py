@@ -40,7 +40,9 @@ def _run(build, make_inputs, outs, cpu_build=None):
     return report
 
 
-def main():
+def main() -> float:
+    """Returns the worst max-rel-diff; exit code 0 iff < 1e-3 (bench.py
+    gates perf records on this)."""
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
@@ -104,7 +106,9 @@ def main():
             worst = max(worst, 1.0)
     print(f"WORST {worst:.2e} ({'OK' if worst < 1e-3 else 'INVESTIGATE'})",
           flush=True)
+    return worst
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    sys.exit(0 if main() < 1e-3 else 1)
