@@ -15,15 +15,16 @@ from .depth import Depth
 from .camera_calib import CameraIntrinsic, CameraExtrinsic, Pose
 from .io.errors import InvalidSampleError
 
-# module-level batch_list (aloscene/__init__.py:25)
+# module-level batch_list / temporal_list (aloscene/__init__.py:25)
 batch_list = SpatialAugmentedArray.batch_list
+temporal_list = SpatialAugmentedArray.temporal_list
 
 __all__ = [
     "AugmentedArray", "SpatialAugmentedArray", "Labels", "Frame",
     "BoundingBoxes2D", "BoundingBoxes3D", "OrientedBoxes2D",
     "Points2D", "Points3D", "Mask", "Flow", "SceneFlow", "Disparity",
     "Depth", "CameraIntrinsic", "CameraExtrinsic", "Pose",
-    "InvalidSampleError", "batch_list", "render",
+    "InvalidSampleError", "batch_list", "temporal_list", "render",
 ]
 
 

@@ -174,6 +174,17 @@ class SpatialAugmentedArray(AugmentedArray):
         out.append_mask(Mask(np.concatenate(masks, axis=0), names=mask_names))
         return out
 
+    @staticmethod
+    def temporal_list(sa_arrays: List["SpatialAugmentedArray"]):
+        """Stack same-shape frames along a NEW temporal axis T — the
+        sequence-building pattern (reference: torch.cat of .temporal()
+        frames, tutorials/4.1-sequence.py; spatial_augmented_tensor.py:218).
+        Children stack with the frames; use batch_list first when shapes
+        differ."""
+        frames = [f.temporal() for f in sa_arrays if f is not None]
+        assert len(frames) >= 1
+        return _cat_batched(frames, axis_name="T")
+
     # ------------------------------------------------------------------
     # spatial geometric primitive ops
     # ------------------------------------------------------------------

@@ -39,7 +39,7 @@ def make_detr_trainer(num_classes: int = 91, background_class: Optional[int] = N
     trainer_kwargs.setdefault("project", "detr")
     trainer = Trainer(
         model=model,
-        criterion=detr_criterion,
+        criterion=trainer_kwargs.pop("criterion", detr_criterion),
         prepare_batch=dm.prepare_batch,
         inference_fn=partial(detr_inference, background_class=bg),
         **trainer_kwargs)
@@ -65,7 +65,7 @@ def make_deformable_detr_trainer(num_classes: int = 91,
     trainer_kwargs.setdefault("project", "deformable-detr")
     trainer = Trainer(
         model=model,
-        criterion=deformable_criterion,
+        criterion=trainer_kwargs.pop("criterion", deformable_criterion),
         prepare_batch=dm.prepare_batch,
         inference_fn=deformable_inference,
         **trainer_kwargs)
@@ -101,7 +101,7 @@ def make_raft_trainer(small: bool = False, iters: int = 12,
             schedule=onecycle_schedule(lr, num_steps + 100))
     trainer = Trainer(
         model=model,
-        criterion=_raft_criterion,
+        criterion=trainer_kwargs.pop("criterion", _raft_criterion),
         prepare_batch=dm.prepare_batch,
         inference_fn=None,
         **trainer_kwargs)
@@ -140,7 +140,7 @@ def make_panoptic_trainer(num_classes: int = 250, data_module=None,
             freeze_prefixes=("detector",))
     trainer = Trainer(
         model=model,
-        criterion=panoptic_criterion,
+        criterion=trainer_kwargs.pop("criterion", panoptic_criterion),
         prepare_batch=_make_panoptic_prepare(dm),
         inference_fn=partial(inference_with_masks, background_class=n_cls),
         **trainer_kwargs)
