@@ -40,30 +40,56 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
 
 
-def param_partition_spec(path, x, tp: int) -> P:
-    """Partition rule for model params under tensor parallelism.
+_FSDP_MIN_SIZE = 1 << 16     # params below 64K elements replicate
 
-    Heuristic tuned for the DETR/RAFT families: 2-D Dense kernels with a
-    large, tp-divisible output dim shard that dim (column parallel); their
-    biases follow. Everything else replicates. Conv kernels replicate (CV
-    convs are small; the FLOPs live in the transformer).
+
+def param_partition_spec(path, x, tp: int, dp: int = 1,
+                         fsdp: bool = False) -> P:
+    """Partition rule for model params (and, structurally, Adam moments —
+    optax state paths end with the same param names, so the same rule
+    shards optimizer state consistently with its params).
+
+    Tensor parallel: 2-D Dense kernels with a large, tp-divisible output
+    dim shard that dim (column parallel); their biases follow. Conv kernels
+    replicate under tp alone (CV convs are small; the FLOPs live in the
+    transformer).
+
+    FSDP (``fsdp=True``): additionally shard every parameter above
+    _FSDP_MIN_SIZE elements over the ``dp`` axis on its largest
+    dp-divisible, not-already-sharded dim — the ZeRO-3 analog. XLA inserts
+    the all-gathers (forward/backward) and reduce-scatters (grads)
+    automatically from the annotations; per-device param+moment memory
+    drops ~dp-fold. Replaces the reference's DDP full replication
+    (pl_helpers.py:372) for models that outgrow one chip's HBM.
     """
-    if tp <= 1:
-        return P()
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     is_kernel = names and names[-1] == "kernel"
     is_bias = names and names[-1] == "bias"
-    if is_kernel and x.ndim == 2 and x.shape[-1] % tp == 0 and x.shape[-1] >= 512:
-        return P(None, "tp")
-    if is_bias and x.ndim == 1 and x.shape[0] % tp == 0 and x.shape[0] >= 512:
-        return P("tp")
-    return P()
+    spec = [None] * getattr(x, "ndim", 0)
+    if tp > 1:
+        if is_kernel and x.ndim == 2 and x.shape[-1] % tp == 0 \
+                and x.shape[-1] >= 512:
+            spec[-1] = "tp"
+        elif is_bias and x.ndim == 1 and x.shape[0] % tp == 0 \
+                and x.shape[0] >= 512:
+            spec[0] = "tp"
+    if fsdp and dp > 1 and getattr(x, "size", 0) >= _FSDP_MIN_SIZE:
+        for d in sorted(range(x.ndim), key=lambda d: -x.shape[d]):
+            if spec[d] is None and x.shape[d] % dp == 0:
+                spec[d] = "dp"
+                break
+    while spec and spec[-1] is None:   # P(None, ...) -> canonical P()
+        spec.pop()
+    return P(*spec)
 
 
-def partition_params(params: Any, mesh: Mesh) -> Any:
-    """device_put params with the tp partition rules over ``mesh``."""
+def partition_params(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
+    """device_put a param (or optimizer-state) tree with the tp/fsdp
+    partition rules over ``mesh``."""
     tp = mesh.shape.get("tp", 1)
+    dp = mesh.shape.get("dp", 1)
     return jax.tree_util.tree_map_with_path(
         lambda path, x: jax.device_put(
-            x, NamedSharding(mesh, param_partition_spec(path, x, tp))),
+            x, NamedSharding(mesh, param_partition_spec(path, x, tp, dp,
+                                                        fsdp))),
         params)

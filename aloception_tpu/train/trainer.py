@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..parallel import make_mesh, shard_batch, partition_params, replicate
+from ..parallel import make_mesh, shard_batch, partition_params
 from .callbacks import Callback, MetricsCallback
 from .checkpoint import CheckpointManager
 from .experiment import get_expe_infos
@@ -32,6 +32,7 @@ class Trainer:
                  prepare_batch: Callable,
                  inference_fn: Optional[Callable] = None,
                  mesh=None, tp: Optional[int] = None,
+                 fsdp: bool = False,
                  optimizer=None, lr: float = 1e-4, lr_backbone: float = 1e-5,
                  weight_decay: float = 1e-4, grad_clip: float = 0.1,
                  accumulate_grad_batches: int = 1,
@@ -50,6 +51,7 @@ class Trainer:
         self.prepare_batch = prepare_batch
         self.inference_fn = inference_fn
         self.mesh = mesh if mesh is not None else make_mesh(tp=tp)
+        self.fsdp = fsdp
         self.optimizer = optimizer if optimizer is not None else make_optimizer(
             lr=lr, lr_backbone=lr_backbone, weight_decay=weight_decay,
             grad_clip=grad_clip, accumulate_steps=accumulate_grad_batches)
@@ -123,11 +125,15 @@ class Trainer:
         params = self.model.init(jax.random.PRNGKey(self.seed),
                                  *batch["inputs"])
         with self.mesh:
-            params = partition_params(params, self.mesh)
+            params = partition_params(params, self.mesh, fsdp=self.fsdp)
             state = make_train_state(self.model, params, tx=self.optimizer,
                                      rng=jax.random.PRNGKey(self.seed + 1))
+            # Adam moments shard like their params (tp and fsdp both) —
+            # optax state paths end with the same names, so one rule covers
+            # both trees; scalars (count, schedule step) replicate.
             self.state = state.replace(
-                opt_state=replicate(state.opt_state, self.mesh))
+                opt_state=partition_params(state.opt_state, self.mesh,
+                                           fsdp=self.fsdp))
 
     def _device_batch(self, prepared: Dict) -> Dict:
         with self.mesh:
@@ -159,9 +165,11 @@ class Trainer:
                             with self.mesh:
                                 self.state = self.state.replace(
                                     params=partition_params(
-                                        restored.params, self.mesh),
-                                    opt_state=replicate(
-                                        restored.opt_state, self.mesh),
+                                        restored.params, self.mesh,
+                                        fsdp=self.fsdp),
+                                    opt_state=partition_params(
+                                        restored.opt_state, self.mesh,
+                                        fsdp=self.fsdp),
                                     step=restored.step,
                                     dropout_rng=jnp.asarray(
                                         restored.dropout_rng),
