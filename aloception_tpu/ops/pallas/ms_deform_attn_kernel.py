@@ -416,6 +416,11 @@ def ms_deform_attn_pallas_bwd(value, value_spatial_shapes,
             jax.ShapeDtypeStruct((B, nH, Len_p, C), jnp.float32),
             jax.ShapeDtypeStruct((B, nH, L, Lq_p, 4 * P), jnp.float32),
         ],
+        # the round-2 blocker was a 16 MB scoped-VMEM compile OOM; the
+        # raised limit (same knob the round-3 experiments use) lets the
+        # accumulator + dcw epilogue fit
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(value_h, idx, cw, g_h)
 
