@@ -155,6 +155,23 @@ def bench_raft(args):
     }
 
 
+def _device_probe(timeout_s: int = 240) -> bool:
+    """Fail fast if the TPU claim is unreachable. The axon claim can wedge
+    server-side (DEVELOPMENT.md round-3: jax.devices() hung >15h after a
+    concurrent-process wedge); without this probe bench.py would hang at
+    the first device op and the round record would be an empty file rather
+    than a diagnosable one."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _parity_gate() -> bool:
     """Run the TPU-vs-CPU-oracle parity audits BEFORE any timing: the
     round-2 backend-miscompile episode (DEVELOPMENT.md "silently WRONG on
@@ -170,8 +187,13 @@ def _parity_gate() -> bool:
         path = os.path.join(here, "scripts", script)
         print(f"[bench] parity gate: {script} ...", file=sys.stderr,
               flush=True)
-        r = subprocess.run([sys.executable, path], capture_output=True,
-                           text=True, timeout=1800)
+        try:
+            r = subprocess.run([sys.executable, path], capture_output=True,
+                               text=True, timeout=1800)
+        except subprocess.TimeoutExpired as e:
+            sys.stderr.write(f"[bench] {script} TIMED OUT: {e}\n")
+            ok = False
+            continue
         sys.stderr.write(r.stdout[-2000:] + r.stderr[-500:])
         ok &= r.returncode == 0
     return ok
@@ -263,6 +285,14 @@ def main():
         jax.config.update("jax_platforms", args.backend)
 
     on_tpu = not args.backend or args.backend not in ("cpu",)
+    if on_tpu and not _device_probe():
+        import sys
+        print(json.dumps({
+            "metric": "detr_r50_inference_imgs_per_sec_bs32_640px",
+            "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+            "extra": {"error": "TPU claim unreachable: jax.devices() hung "
+                               ">240s (axon claim wedge, DEVELOPMENT.md)"}}))
+        sys.exit(1)
     if on_tpu and not args.tiny and not args.skip_parity:
         if not _parity_gate():
             import sys
