@@ -178,6 +178,59 @@ def _kernel(value_ref, idx_ref, cw_ref, out_ref, *, shapes, starts, P):
     out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
 
 
+def _kernel_hl(value_ref, idx_ref, cw_ref, out_ref, *, shapes, P, nH, C):
+    """HEADS-IN-LANES forward variant. Grid: (B, Lq // Tq) — one block
+    covers ALL heads.
+
+    value_ref: (1, nH, Len_p, C); idx/cw: (1, L, Tq, nH*4P);
+    out_ref: (1, Tq, nH*C).
+
+    Rationale (scripts/exp_msda5.py): the per-(b,h) layout's select passes
+    use only 4P*L = 48 of 128 lanes per vreg row (62% waste). Packing
+    (head, corner) on the lane axis makes nH*4P = 128 lanes EXACTLY for the
+    production config (nH=8, P=4), so every one-hot compare-select runs at
+    full lane utilization — ONE pass builds all heads' one-hots. The coeff
+    dot then slices 4P lanes per head (static python unroll)."""
+    Tq = idx_ref.shape[2]
+    L = len(shapes)
+    mm = value_ref.dtype if value_ref.dtype == jnp.bfloat16 else jnp.float32
+    prec = jax.lax.Precision.HIGHEST if mm == jnp.float32 else None
+
+    # per-level factored one-hots at full lane utilization (all heads)
+    coeff_lvls = []
+    for lvl in range(L):
+        HW = shapes[lvl][0] * shapes[lvl][1]
+        M = _pad_hw(HW) // _LANE
+        idx_l = idx_ref[0, lvl]                        # (Tq, nH*4P)
+        cw_l = cw_ref[0, lvl]
+        hi = idx_l // _LANE
+        lo = idx_l - hi * _LANE
+        nJh = idx_l.shape[1]
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (Tq, M, nJh), 1)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (Tq, _LANE, nJh), 1)
+        HaT = jnp.where(iota_m == hi[:, None, :], cw_l[:, None, :], 0.0)
+        LbT = jnp.where(iota_l == lo[:, None, :], 1.0, 0.0)
+        coeff_lvls.append((HaT, LbT, M))
+
+    for h in range(nH):
+        sl = slice(h * 4 * P, (h + 1) * 4 * P)
+        parts = []
+        for lvl in range(L):
+            HaT, LbT, M = coeff_lvls[lvl]
+            c = jax.lax.dot_general(
+                HaT[:, :, sl].astype(mm), LbT[:, :, sl].astype(mm),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=prec)                        # (Tq, M, 128)
+            parts.append(c.reshape(Tq, M * _LANE).astype(mm))
+        coeff = parts[0] if len(parts) == 1 \
+            else jnp.concatenate(parts, axis=1)        # (Tq, Len_p)
+        acc = jax.lax.dot(coeff, value_ref[0, h, :, :].astype(mm),
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+        out_ref[0, :, h * C:(h + 1) * C] = acc.astype(out_ref.dtype)
+
+
 def _pad_q(loc, w, Lq, Tq):
     pad_q = (-Lq) % Tq
     if pad_q:
@@ -241,13 +294,17 @@ def _corner_indices_weights(shapes, loc, w):
     return idx, cw
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6))
 def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
                           attention_weights, tile_q: int = 64,
-                          interpret: bool = False):
+                          interpret: bool = False, layout: str = "bh"):
     """Shapes as in ops/ms_deform_attn.py:
     value (B, Len_v, nH, C); sampling_locations (B, Lq, nH, L, P, 2) in
     [0,1]; attention_weights (B, Lq, nH, L, P). Returns (B, Lq, nH * C).
+
+    layout: "bh" = per-(batch, head) grid (the shipped transposed
+    construction); "hl" = heads-in-lanes (_kernel_hl) — all heads in one
+    block with (head, corner) packed on the lane axis.
     """
     B, Len_v, nH, C = value.shape
     Lq = sampling_locations.shape[1]
@@ -273,6 +330,32 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
     # constant the op is 70 ms either way. /tmp-gap experiments, round 3.
     if not interpret:
         value_h, idx, cw = jax.lax.optimization_barrier((value_h, idx, cw))
+
+    if layout == "hl":
+        # (B, nH, L, Lq_p, 4P) -> (B, L, Lq_p, nH*4P)
+        idx_hl = idx.transpose(0, 2, 3, 1, 4).reshape(B, L, Lq_p, nH * 4 * P)
+        cw_hl = cw.transpose(0, 2, 3, 1, 4).reshape(B, L, Lq_p, nH * 4 * P)
+        kernel = functools.partial(_kernel_hl, shapes=shapes, P=P, nH=nH,
+                                   C=C)
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, Lq_p // Tq),
+            in_specs=[
+                pl.BlockSpec((1, nH, Len_p, C), lambda b, t: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L, Tq, nH * 4 * P),
+                             lambda b, t: (b, 0, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L, Tq, nH * 4 * P),
+                             lambda b, t: (b, 0, t, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, Tq, nH * C), lambda b, t: (b, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, Lq_p, nH * C), value.dtype),
+            interpret=interpret,
+        )(value_h, idx_hl, cw_hl)
+        return out[:, :Lq]
 
     kernel = functools.partial(_kernel, shapes=shapes, starts=starts, P=P)
     out = pl.pallas_call(

@@ -132,6 +132,20 @@ def test_ms_deform_attn_pallas_bwd_out_of_range_locations():
         assert float(jnp.abs(a - b).max()) / scale < 1e-5, name
 
 
+def test_ms_deform_attn_pallas_hl_layout_parity():
+    """The heads-in-lanes layout (_kernel_hl, full 128-lane one-hot
+    construction) must match the lax reference like the default layout."""
+    from aloception_tpu.ops.ms_deform_attn import ms_deform_attn_lax
+    from aloception_tpu.ops.pallas.ms_deform_attn_kernel import (
+        ms_deform_attn_pallas)
+    value, shapes, loc, w = _msda_inputs()
+    want = ms_deform_attn_lax(value, shapes, loc, w)
+    got = ms_deform_attn_pallas(value, shapes, loc, w, 64, True,
+                                layout="hl")
+    assert got.shape == want.shape
+    assert float(jnp.abs(got - want).max()) < 1e-5
+
+
 def test_ms_deform_attn_pallas_bwd_kernel_direct():
     """The DEDICATED backward kernel (ms_deform_attn_pallas_bwd), called
     directly in interpret mode, must match autodiff of the lax reference.
