@@ -152,8 +152,13 @@ class DeformableTransformer(nn.Module):
         valid_ratios = get_valid_ratios(masks)
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
 
+        from ...parallel import constrain_tokens
+
         memory = src
         for i in range(self.num_encoder_layers):
+            # sequence-parallel hook (no-op off-mesh): FFN/LayerNorm stay
+            # token-sharded; XLA gathers value planes only for the MSDA op
+            memory = constrain_tokens(memory)
             memory = DeformableEncoderLayer(
                 self.d_model, self.dim_feedforward, self.dropout,
                 self.n_levels, self.n_heads, self.n_points,

@@ -100,8 +100,13 @@ class Transformer(nn.Module):
                  deterministic=True):
         """src: (B, L, C) flattened features; pos: (B, L, C); query_embed:
         (Nq, C) learned queries (broadcast to batch)."""
+        from ...parallel import constrain_tokens
+
         memory = src
         for i in range(self.num_encoder_layers):
+            # sequence-parallel hook: no-op off-mesh; under a mesh with
+            # sp>1 keeps LayerNorm/FFN token-sharded (parallel/shard.py)
+            memory = constrain_tokens(memory)
             memory = EncoderLayer(
                 self.d_model, self.nheads, self.dim_feedforward, self.dropout,
                 dtype=self.dtype, name=f"encoder_layer{i}")(

@@ -1,5 +1,5 @@
 from .mesh import make_mesh, default_mesh_shape  # noqa: F401
 from .shard import (shard_batch, replicate, partition_params,  # noqa: F401
-                    param_partition_spec)
+                    param_partition_spec, constrain_tokens)
 from .distributed import (is_main_process, main_process_only,  # noqa: F401
                           process_count, local_device_count)

@@ -6,6 +6,10 @@ is a ``jax.sharding.Mesh`` over the chips with XLA collectives riding ICI.
 Axes:
 
 - ``dp``  — data parallel (batch sharded; gradients all-reduced by XLA)
+- ``sp``  — sequence parallel (encoder token axis sharded via
+            with_sharding_constraint hooks in the models; XLA all-gathers
+            around attention and keeps LayerNorm/FFN work sharded —
+            Megatron-SP from annotations alone)
 - ``tp``  — tensor parallel (large Dense kernels sharded; activations
             resharded by XLA collectives)
 
@@ -23,20 +27,27 @@ from jax.sharding import Mesh
 
 
 def default_mesh_shape(n_devices: Optional[int] = None,
-                       tp: Optional[int] = None) -> Tuple[int, int]:
-    """Pick (dp, tp). CV models are small: default is pure DP (tp=1); pass
-    tp>1 to shard the transformer FFN/attention weights."""
+                       tp: Optional[int] = None,
+                       sp: Optional[int] = None) -> Tuple[int, int, int]:
+    """Pick (dp, sp, tp). CV models are small: default is pure DP
+    (sp=tp=1); pass tp>1 to shard the transformer FFN/attention weights,
+    sp>1 to shard encoder tokens."""
     n = n_devices if n_devices is not None else len(jax.devices())
     tp = tp or 1
-    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-    return (n // tp, tp)
+    sp = sp or 1
+    assert n % (tp * sp) == 0, \
+        f"{n} devices not divisible by sp={sp} * tp={tp}"
+    return (n // (tp * sp), sp, tp)
 
 
 def make_mesh(n_devices: Optional[int] = None, tp: Optional[int] = None,
+              sp: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
+    """3-axis ("dp", "sp", "tp") mesh; unused axes have size 1 (specs that
+    don't name them are unaffected)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
-    dp, tp_ = default_mesh_shape(len(devices), tp)
-    dev_array = np.asarray(devices).reshape(dp, tp_)
-    return Mesh(dev_array, axis_names=("dp", "tp"))
+    dp, sp_, tp_ = default_mesh_shape(len(devices), tp, sp)
+    dev_array = np.asarray(devices).reshape(dp, sp_, tp_)
+    return Mesh(dev_array, axis_names=("dp", "sp", "tp"))

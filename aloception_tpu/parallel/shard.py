@@ -35,6 +35,30 @@ def shard_batch(batch: Any, mesh: Mesh, strict: bool = False) -> Any:
     return jax.tree_util.tree_map(_put, batch)
 
 
+def constrain_tokens(x, axis: str = "sp"):
+    """Sequence-parallel hook: constrain (B, L, C) token activations to
+    P("dp", axis) when the trace-time mesh has a non-trivial ``axis``.
+
+    Models call this unconditionally inside their encoder stacks; without a
+    mesh context (single chip, tests, init) or with axis size 1 it is an
+    identity, so the hook costs nothing off-mesh. Under a mesh with sp>1,
+    XLA keeps the LayerNorm/FFN/elementwise work token-sharded and inserts
+    the all-gathers only where attention needs full keys/values — the
+    Megatron-LM sequence-parallel schedule, derived from one annotation
+    (scaling-book recipe: annotate, let XLA insert collectives)."""
+    try:
+        from jax._src.mesh import thread_resources
+        mesh = thread_resources.env.physical_mesh
+        if mesh.empty or axis not in mesh.shape or mesh.shape[axis] == 1:
+            return x
+    except Exception:
+        return x
+    spec = [None] * x.ndim
+    spec[0] = "dp" if x.shape[0] % mesh.shape.get("dp", 1) == 0 else None
+    spec[1] = axis
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)

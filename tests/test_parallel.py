@@ -63,6 +63,33 @@ def test_partition_spec_rules():
                                 fsdp=True) == P()
 
 
+def test_sp_step_matches_replicated():
+    """Sequence parallelism: the same train step on a (dp=2, sp=2, tp=2)
+    mesh — encoder tokens sharded over sp via the constrain_tokens hooks —
+    must match the replicated loss. Off-mesh the hook is an identity, so
+    every other test in the suite covers that path."""
+    model = _tiny_model()
+    images, mask, targets = _batch()
+    params = model.init(jax.random.PRNGKey(0), images, mask)
+
+    step = make_detr_train_step(model, donate=False)
+    state = make_train_state(model, params, rng=jax.random.PRNGKey(1))
+    _, metrics_ref = step(state, images, mask, targets)
+    loss_ref = float(metrics_ref["loss_total"])
+
+    mesh = make_mesh(n_devices=8, sp=2, tp=2)
+    assert mesh.shape == {"dp": 2, "sp": 2, "tp": 2}
+    with mesh:
+        p = partition_params(params, mesh)
+        st = make_train_state(model, p, rng=jax.random.PRNGKey(1))
+        b = shard_batch({"images": images, "mask": mask,
+                         "targets": targets}, mesh)
+        st, metrics = step(st, b["images"], b["mask"], b["targets"])
+        loss_sp = float(metrics["loss_total"])
+    assert np.isfinite(loss_sp)
+    assert abs(loss_sp - loss_ref) < 1e-4, (loss_sp, loss_ref)
+
+
 def test_fsdp_step_matches_replicated():
     """One train step with fsdp-sharded params+moments must produce the
     same loss as the fully replicated run (XLA collectives are exact for
