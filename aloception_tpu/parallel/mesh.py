@@ -12,6 +12,8 @@ Axes:
             Megatron-SP from annotations alone)
 - ``tp``  — tensor parallel (large Dense kernels sharded; activations
             resharded by XLA collectives)
+- ``pp``  — pipeline parallel (stacked layer params sharded per stage;
+            activations hop stages via lax.ppermute — parallel/pipeline.py)
 
 Multi-host (DCN) comes for free from jax.distributed initialization: the same
 mesh spans all processes' devices.
@@ -28,26 +30,29 @@ from jax.sharding import Mesh
 
 def default_mesh_shape(n_devices: Optional[int] = None,
                        tp: Optional[int] = None,
-                       sp: Optional[int] = None) -> Tuple[int, int, int]:
-    """Pick (dp, sp, tp). CV models are small: default is pure DP
-    (sp=tp=1); pass tp>1 to shard the transformer FFN/attention weights,
-    sp>1 to shard encoder tokens."""
+                       sp: Optional[int] = None,
+                       pp: Optional[int] = None
+                       ) -> Tuple[int, int, int, int]:
+    """Pick (dp, pp, sp, tp). CV models are small: default is pure DP
+    (pp=sp=tp=1); pass tp>1 to shard the transformer FFN/attention weights,
+    sp>1 to shard encoder tokens, pp>1 to pipeline layer stacks."""
     n = n_devices if n_devices is not None else len(jax.devices())
     tp = tp or 1
     sp = sp or 1
-    assert n % (tp * sp) == 0, \
-        f"{n} devices not divisible by sp={sp} * tp={tp}"
-    return (n // (tp * sp), sp, tp)
+    pp = pp or 1
+    assert n % (tp * sp * pp) == 0, \
+        f"{n} devices not divisible by pp={pp} * sp={sp} * tp={tp}"
+    return (n // (tp * sp * pp), pp, sp, tp)
 
 
 def make_mesh(n_devices: Optional[int] = None, tp: Optional[int] = None,
-              sp: Optional[int] = None,
+              sp: Optional[int] = None, pp: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
-    """3-axis ("dp", "sp", "tp") mesh; unused axes have size 1 (specs that
-    don't name them are unaffected)."""
+    """4-axis ("dp", "pp", "sp", "tp") mesh; unused axes have size 1
+    (specs that don't name them are unaffected)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
-    dp, sp_, tp_ = default_mesh_shape(len(devices), tp, sp)
-    dev_array = np.asarray(devices).reshape(dp, sp_, tp_)
-    return Mesh(dev_array, axis_names=("dp", "sp", "tp"))
+    dp, pp_, sp_, tp_ = default_mesh_shape(len(devices), tp, sp, pp)
+    dev_array = np.asarray(devices).reshape(dp, pp_, sp_, tp_)
+    return Mesh(dev_array, axis_names=("dp", "pp", "sp", "tp"))

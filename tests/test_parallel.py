@@ -78,7 +78,7 @@ def test_sp_step_matches_replicated():
     loss_ref = float(metrics_ref["loss_total"])
 
     mesh = make_mesh(n_devices=8, sp=2, tp=2)
-    assert mesh.shape == {"dp": 2, "sp": 2, "tp": 2}
+    assert dict(mesh.shape) == {"dp": 2, "pp": 1, "sp": 2, "tp": 2}
     with mesh:
         p = partition_params(params, mesh)
         st = make_train_state(model, p, rng=jax.random.PRNGKey(1))
