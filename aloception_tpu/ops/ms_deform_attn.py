@@ -224,6 +224,16 @@ def ms_deform_attn_block(value, value_spatial_shapes, sampling_locations,
 import functools
 
 
+# Kernel layout knob (overridable via ALO_MSDA_LAYOUT for A/B runs):
+# "bh" = per-(batch, head) grid with the transposed construction;
+# "hl" = heads-in-lanes — all heads in one block, (head, corner) packed on
+# the lane axis (nH*4P = 128 exactly at production config) so every
+# one-hot compare-select runs at full lane utilization.
+import os
+
+PALLAS_LAYOUT = os.environ.get("ALO_MSDA_LAYOUT", "bh")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _msda_pallas(shapes, value, loc, w):
     import jax as _jax
@@ -231,7 +241,8 @@ def _msda_pallas(shapes, value, loc, w):
     interpret = _jax.default_backend() == "cpu"
     # Tq=64 keeps the per-program coeff/iota planes under the 16M VMEM cap
     # at encoder-scale levels (128 OOMs at level0 HW=6400)
-    return ms_deform_attn_pallas(value, shapes, loc, w, 64, interpret)
+    return ms_deform_attn_pallas(value, shapes, loc, w, 64, interpret,
+                                 layout=PALLAS_LAYOUT)
 
 
 def _msda_pallas_fwd(shapes, value, loc, w):

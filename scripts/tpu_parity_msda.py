@@ -46,6 +46,20 @@ def run(verbose: bool = True) -> bool:
             print(f'{impl:7s} TPU vs CPU-lax: {d:.6f}'
                   f'{"" if d <= FWD_TOL else "  <-- FAIL"}', flush=True)
 
+    # both kernel layouts explicitly (the default above follows
+    # ALO_MSDA_LAYOUT; a layout flip must never skip hardware parity)
+    from aloception_tpu.ops.pallas.ms_deform_attn_kernel import (
+        ms_deform_attn_pallas)
+    for layout in ('bh', 'hl'):
+        o = np.asarray(ms_deform_attn_pallas(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
+            64, False, layout=layout))
+        d = np.abs(o - ref).max()
+        ok &= bool(d <= FWD_TOL)
+        if verbose:
+            print(f'pallas[{layout}] TPU vs CPU-lax: {d:.6f}'
+                  f'{"" if d <= FWD_TOL else "  <-- FAIL"}', flush=True)
+
     # gradient parity too (pallas custom VJP on TPU vs CPU lax autodiff)
     def loss(fn, v, l, a):
         return jnp.sum(fn(v, shapes, l, a) ** 2)
