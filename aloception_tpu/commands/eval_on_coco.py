@@ -67,8 +67,9 @@ def main(argv=None):
             if args.tiny else None
         model = DetrPanoptic(detector=detector, num_classes=n_cls)
         num_queries = detector.num_queries if detector else 100
-        inference = lambda o: inference_with_masks(
-            o, threshold=args.threshold, background_class=n_cls)
+        inference = lambda o, fs=None: inference_with_masks(
+            o, threshold=args.threshold, background_class=n_cls,
+            frame_size=fs)
     elif args.model == "detr":
         from aloception_tpu.models.detr import Detr, detr_r50
         from aloception_tpu.models.detr import inference as inf
@@ -76,8 +77,8 @@ def main(argv=None):
                      nheads=4, num_encoder_layers=2, num_decoder_layers=2,
                      dim_feedforward=128, stage_sizes=(1, 1, 1, 1)) \
             if args.tiny else detr_r50(num_classes=n_cls)
-        inference = lambda o: inf(o, threshold=args.threshold,
-                                  background_class=n_cls)
+        inference = lambda o, fs=None: inf(o, threshold=args.threshold,
+                                           background_class=n_cls)
     else:
         from aloception_tpu.models.deformable_detr import (
             DeformableDETR, deformable_detr_r50)
@@ -89,7 +90,8 @@ def main(argv=None):
                                with_box_refine=True) \
             if args.tiny else deformable_detr_r50(num_classes=n_cls,
                                                   with_box_refine=True)
-        inference = lambda o: inf(o, threshold=max(args.threshold, 0.2))
+        inference = lambda o, fs=None: inf(o, threshold=max(args.threshold,
+                                                            0.2))
 
     if args.model != "panoptic":
         num_queries = model.num_queries
@@ -119,7 +121,7 @@ def main(argv=None):
                       f"{ckpt.best_step() if args.best else ckpt.last_step()}")
         out = jax.device_get(apply(params, jnp.asarray(images),
                                    jnp.asarray(mask)))
-        preds = inference(out)
+        preds = inference(out, tuple(images.shape[1:3]))
         frames = prepared["frames"]
         gt_list = frames.boxes2d if isinstance(frames.boxes2d, list) \
             else [frames.boxes2d]

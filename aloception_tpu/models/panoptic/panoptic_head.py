@@ -175,9 +175,17 @@ class DetrPanoptic(nn.Module):
 def inference_with_masks(m_outputs: Dict, threshold: float = 0.0,
                          background_class: Optional[int] = None,
                          activation_fn: str = "softmax",
-                         mask_threshold: float = 0.5):
+                         mask_threshold: float = 0.5,
+                         frame_size: Optional[tuple] = None):
     """Full panoptic inference: per-frame (BoundingBoxes2D, Mask) with the
-    same query filter applied to both (detr_panoptic.py:227-)."""
+    same query filter applied to both (detr_panoptic.py:227-).
+
+    ``frame_size`` (H, W): the head predicts masks at stride 4; the
+    reference bilinearly upsamples them to the frame size before
+    thresholding (detr_panoptic.py:239 F.interpolate) — pass the input
+    image size so the returned Masks align with full-resolution ground
+    truth (PQMetrics compares pixelwise)."""
+    import cv2
     from ...aloscene import BoundingBoxes2D, Labels, Mask
 
     logits = np.asarray(m_outputs["pred_logits"])
@@ -206,6 +214,16 @@ def inference_with_masks(m_outputs: Dict, threshold: float = 0.0,
                                 boxes_format="xcyc", absolute=False,
                                 labels=lab)
         m = 1 / (1 + np.exp(-pred_masks[b][keep]))
+        if frame_size is not None and m.shape[0] and \
+                tuple(m.shape[1:]) != tuple(frame_size):
+            # (N, h, w) -> (h, w, N) for cv2, bilinear like the reference
+            up = cv2.resize(m.transpose(1, 2, 0),
+                            (int(frame_size[1]), int(frame_size[0])),
+                            interpolation=cv2.INTER_LINEAR)
+            m = up[..., None].transpose(2, 0, 1) if up.ndim == 2 \
+                else up.transpose(2, 0, 1)
+        elif frame_size is not None and not m.shape[0]:
+            m = np.zeros((0,) + tuple(frame_size), m.dtype)
         masks = Mask((m > mask_threshold).astype(np.float32),
                      labels=lab.clone())
         results.append((boxes, masks))

@@ -43,6 +43,19 @@ def test_eval_on_coco_panoptic(capsys):
     assert "[eval_on_coco] PQ=" in out
 
 
+def test_eval_on_coco_panoptic_default_geometry(capsys):
+    """Regression: pred_masks come out at stride 4; PQ eval at the default
+    frame size must upsample them to full resolution before matching GT
+    (reference detr_panoptic.py:239 F.interpolate) — this crashed with a
+    (120,160) vs (480,640) broadcast error before the frame_size plumbing
+    in inference_with_masks."""
+    from aloception_tpu.commands import eval_on_coco
+    eval_on_coco.main(["--cpu", "--sample", "--tiny", "--model", "panoptic",
+                       "--limit_batches", "1", "--size", "96", "128"])
+    out = capsys.readouterr().out
+    assert "[eval_on_coco] PQ=" in out
+
+
 def test_export_model_cli(tmp_path, capsys):
     import os
     from aloception_tpu.commands import export_model
