@@ -1,8 +1,10 @@
 """Panoptic Quality (reference: alonet/metrics/compute_pq.py:31 PQMetrics).
 
 PQ = sum(IoU of TP) / (TP + FP/2 + FN/2), split things/stuff. Samples arrive
-as (pred Mask w/ Labels, gt Mask w/ Labels); matching by segment IoU > 0.5
-over the mask2id maps.
+as (pred Mask w/ Labels, gt Mask w/ Labels); INSTANCE-level matching — each
+mask channel is one segment, same-class pairs match at IoU > 0.5 over the
+argmax instance-id maps, with the panopticapi void rule for unmatched
+predictions (compute_pq.py:46-77 semantics).
 """
 
 from __future__ import annotations
@@ -42,13 +44,37 @@ class PQMetrics:
     def __getitem__(self, label_id: int) -> PQStatCat:
         return self.pq_per_cat.setdefault(label_id, PQStatCat())
 
+    @staticmethod
+    def _segments(mask):
+        """(N, H, W) channel stack -> ((H, W) instance-id map with VOID
+        where no channel covers the pixel, per-channel class ids). Each
+        channel is one segment — instance-level, like the reference's
+        panopticapi id maps (compute_pq.py:46)."""
+        arr = np.asarray(mask.as_numpy() if hasattr(mask, "as_numpy")
+                         else mask)
+        if arr.shape[0] == 0:
+            return (np.full(arr.shape[-2:], VOID, np.int32),
+                    np.zeros(0, np.int32))
+        inst = arr.argmax(0).astype(np.int32)
+        inst = np.where(arr.max(0) > 0.5, inst, VOID)
+        labels = mask.get_child("labels") if hasattr(mask, "get_child") \
+            else None
+        if labels is not None and not isinstance(labels, dict):
+            cats = np.asarray(labels.as_numpy()).astype(np.int32)
+        else:
+            cats = np.zeros(arr.shape[0], np.int32)
+        return inst, cats
+
     def add_sample(self, p_mask, t_mask, isthing: Optional[Dict[int, bool]] = None):
-        """p_mask / t_mask: aloscene.Mask (N, H, W) with Labels
-        (compute_pq.py add_sample semantics via id maps)."""
-        p_ids = p_mask.mask2id(background_id=VOID) if p_mask.shape[0] else \
-            np.full(p_mask.shape[-2:], VOID, int)
-        t_ids = t_mask.mask2id(background_id=VOID) if t_mask.shape[0] else \
-            np.full(t_mask.shape[-2:], VOID, int)
+        """p_mask / t_mask: aloscene.Mask (N, H, W) with Labels.
+
+        Instance-level PQ matching (compute_pq.py / panopticapi semantics):
+        each mask channel is one segment; a (pred, gt) pair of the same
+        class with IoU > 0.5 is a TP (with id maps such a match is unique);
+        unmatched preds are FP unless more than half their area lies on
+        VOID ground truth; unmatched gts are FN."""
+        p_inst, p_cats = self._segments(p_mask)
+        t_inst, t_cats = self._segments(t_mask)
 
         t_labels = t_mask.get_child("labels")
         if self.class_names is None and t_labels is not None:
@@ -56,35 +82,45 @@ class PQMetrics:
         if isthing:
             self.isthing.update(isthing)
 
-        # segment inventories: (class_id -> total area per instance) using
-        # connected instance channels instead of ids; simpler: treat each
-        # class id in the id map as one segment per class per image
-        # (consistent with mask2id collapsing instances by class).
-        p_classes = [c for c in np.unique(p_ids) if c != VOID]
-        t_classes = [c for c in np.unique(t_ids) if c != VOID]
+        p_ids, p_counts = np.unique(p_inst[p_inst != VOID],
+                                    return_counts=True)
+        t_ids, t_counts = np.unique(t_inst[t_inst != VOID],
+                                    return_counts=True)
+        p_area = dict(zip(p_ids.tolist(), p_counts.tolist()))
+        t_area = dict(zip(t_ids.tolist(), t_counts.tolist()))
 
-        matched_t = set()
-        for c in p_classes:
-            pm = p_ids == c
-            best_iou, best_t = 0.0, None
-            for tc in t_classes:
-                if tc != c or tc in matched_t:
-                    continue
-                tm = t_ids == tc
-                inter = float(np.logical_and(pm, tm).sum())
-                union = float(np.logical_or(pm, tm).sum())
-                iou = inter / union if union else 0.0
-                if iou > best_iou:
-                    best_iou, best_t = iou, tc
-            if best_t is not None and best_iou > self.iou_threshold:
+        # pairwise intersections in one pass over the pixel grid
+        both = (p_inst != VOID) & (t_inst != VOID)
+        K = int(t_inst.max()) + 2
+        keys, inters = np.unique(
+            p_inst[both].astype(np.int64) * K + t_inst[both],
+            return_counts=True)
+
+        matched_p, matched_t = set(), set()
+        for key, inter in zip(keys.tolist(), inters.tolist()):
+            i, j = key // K, key % K
+            if p_cats[i] != t_cats[j]:
+                continue
+            union = p_area[i] + t_area[j] - inter
+            iou = inter / union if union else 0.0
+            if iou > self.iou_threshold:
+                c = int(p_cats[i])
                 self[c].tp += 1
-                self[c].iou += best_iou
-                matched_t.add(best_t)
-            else:
-                self[c].fp += 1
-        for tc in t_classes:
-            if tc not in matched_t:
-                self[tc].fn += 1
+                self[c].iou += iou
+                matched_p.add(i)
+                matched_t.add(j)
+
+        void = t_inst == VOID
+        for i in p_ids.tolist():
+            if i in matched_p:
+                continue
+            # panopticapi void rule: mostly-void predictions are not FP
+            void_overlap = int(np.count_nonzero((p_inst == i) & void))
+            if void_overlap <= 0.5 * p_area[i]:
+                self[int(p_cats[i])].fp += 1
+        for j in t_ids.tolist():
+            if j not in matched_t:
+                self[int(t_cats[j])].fn += 1
 
     def pq_average(self, isthing: Optional[bool] = None,
                    print_result: bool = False) -> Dict[str, float]:

@@ -133,9 +133,18 @@ class PQMetricsCallback(Callback):
         frames = batch.get("frames")
         if frames is None or trainer.inference_fn is None:
             return
-        results = trainer.inference_fn(outputs)
         seg_slot = frames.get_child("segmentation")
         seg_list = seg_slot if isinstance(seg_slot, list) else [seg_slot]
+        # pred_masks are stride-4; PQ matches pixelwise against the
+        # full-resolution GT, so ask the inference fn to upsample
+        # (inference_with_masks frame_size; reference detr_panoptic.py:239)
+        fs = next((tuple(g.shape[-2:]) for g in seg_list
+                   if g is not None and not isinstance(g, dict)), None)
+        try:
+            results = trainer.inference_fn(outputs, frame_size=fs) \
+                if fs else trainer.inference_fn(outputs)
+        except TypeError:
+            results = trainer.inference_fn(outputs)
         for (boxes, masks), gt in zip(results, seg_list):
             if gt is not None and not isinstance(gt, dict):
                 self.pq.add_sample(masks, gt, isthing=self.isthing)

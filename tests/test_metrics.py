@@ -90,3 +90,39 @@ def test_depth_metrics():
     assert out2["abs_rel"] - 0.5 < 1e-6
     assert out2["a1"] == 0.0  # ratio 1.5 > 1.25
     assert out2["a2"] == 1.0  # 1.5 < 1.5625
+
+
+def test_pq_instance_level_matching():
+    """Two gt instances of the SAME class: instance-level PQ (reference
+    compute_pq.py/panopticapi) must match them separately — a
+    class-collapsed id map would merge them into one segment and score the
+    exact-on-one prediction at IoU 0.5 (no TP)."""
+    gt_m = np.zeros((2, 16, 16), np.float32)
+    gt_m[0, :8] = 1
+    gt_m[1, 8:] = 1
+    gt = Mask(gt_m, labels=Labels(np.array([1.0, 1.0], np.float32)))
+    pred_m = np.zeros((1, 16, 16), np.float32)
+    pred_m[0, :8] = 1  # nails instance 0, misses instance 1
+    pred = Mask(pred_m, labels=Labels(np.array([1.0], np.float32)))
+    pq = PQMetrics()
+    pq.add_sample(pred, gt)
+    stat = pq[1]
+    assert stat.tp == 1 and stat.fn == 1 and stat.fp == 0
+    assert abs(pq.pq_average()["pq"] - 1.0 / 1.5) < 1e-6
+
+
+def test_pq_void_rule():
+    """An unmatched prediction lying mostly on VOID ground truth is not a
+    false positive (panopticapi rule, compute_pq.py)."""
+    gt_m = np.zeros((1, 16, 16), np.float32)
+    gt_m[0, :8] = 1                       # bottom half of the image is void
+    gt = Mask(gt_m, labels=Labels(np.array([1.0], np.float32)))
+    pred_m = np.zeros((2, 16, 16), np.float32)
+    pred_m[0, :8] = 1                     # TP on the gt segment
+    pred_m[1, 12:] = 1                    # entirely on void -> ignored
+    pred = Mask(pred_m, labels=Labels(np.array([1.0, 1.0], np.float32)))
+    pq = PQMetrics()
+    pq.add_sample(pred, gt)
+    stat = pq[1]
+    assert stat.tp == 1 and stat.fp == 0 and stat.fn == 0
+    assert abs(pq.pq_average()["pq"] - 1.0) < 1e-6
