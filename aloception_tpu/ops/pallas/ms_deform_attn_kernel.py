@@ -196,8 +196,13 @@ def _kernel_hl(value_ref, idx_ref, cw_ref, out_ref, *, shapes, P, nH, C):
     mm = value_ref.dtype if value_ref.dtype == jnp.bfloat16 else jnp.float32
     prec = jax.lax.Precision.HIGHEST if mm == jnp.float32 else None
 
-    # per-level factored one-hots at full lane utilization (all heads)
-    coeff_lvls = []
+    # LEVEL-OUTER accumulation: build each level's factored one-hot (all
+    # heads at once, full 128 lanes), contract it per head against that
+    # level's value rows, and let the planes die before the next level —
+    # keeping every level's LbT (Tq, 128, 128) alive simultaneously costs
+    # ~16 MB f32 at production shapes, over the scoped-VMEM cap.
+    accs = [jnp.zeros((Tq, C), jnp.float32) for _ in range(nH)]
+    start = 0
     for lvl in range(L):
         HW = shapes[lvl][0] * shapes[lvl][1]
         M = _pad_hw(HW) // _LANE
@@ -210,25 +215,20 @@ def _kernel_hl(value_ref, idx_ref, cw_ref, out_ref, *, shapes, P, nH, C):
         iota_l = jax.lax.broadcasted_iota(jnp.int32, (Tq, _LANE, nJh), 1)
         HaT = jnp.where(iota_m == hi[:, None, :], cw_l[:, None, :], 0.0)
         LbT = jnp.where(iota_l == lo[:, None, :], 1.0, 0.0)
-        coeff_lvls.append((HaT, LbT, M))
-
-    for h in range(nH):
-        sl = slice(h * 4 * P, (h + 1) * 4 * P)
-        parts = []
-        for lvl in range(L):
-            HaT, LbT, M = coeff_lvls[lvl]
+        for h in range(nH):
+            sl = slice(h * 4 * P, (h + 1) * 4 * P)
             c = jax.lax.dot_general(
                 HaT[:, :, sl].astype(mm), LbT[:, :, sl].astype(mm),
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
                 precision=prec)                        # (Tq, M, 128)
-            parts.append(c.reshape(Tq, M * _LANE).astype(mm))
-        coeff = parts[0] if len(parts) == 1 \
-            else jnp.concatenate(parts, axis=1)        # (Tq, Len_p)
-        acc = jax.lax.dot(coeff, value_ref[0, h, :, :].astype(mm),
-                          preferred_element_type=jnp.float32,
-                          precision=prec)
-        out_ref[0, :, h * C:(h + 1) * C] = acc.astype(out_ref.dtype)
+            accs[h] = accs[h] + jax.lax.dot(
+                c.reshape(Tq, M * _LANE).astype(mm),
+                value_ref[0, h, start:start + M * _LANE, :].astype(mm),
+                preferred_element_type=jnp.float32, precision=prec)
+        start += M * _LANE
+    for h in range(nH):
+        out_ref[0, :, h * C:(h + 1) * C] = accs[h].astype(out_ref.dtype)
 
 
 def _pad_q(loc, w, Lq, Tq):

@@ -269,7 +269,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
-    ap.add_argument("--variants", default="hl,hlb,shb")
+    ap.add_argument("--variants", default="pbh,phl,hl,hlb,shb")
     ap.add_argument("--tile-q", type=int, default=64)
     ap.add_argument("--decoder", action="store_true",
                     help="Lq=300 decoder shape instead of the encoder")
@@ -299,10 +299,23 @@ def main():
         rng.randn(B, Lq, nH, len(shapes) * P), jnp.float32),
         -1).reshape(B, Lq, nH, len(shapes), P)
 
+    def build_prod(layout):
+        from aloception_tpu.ops.pallas.ms_deform_attn_kernel import (
+            ms_deform_attn_pallas)
+
+        def _mk(interp):
+            return lambda v, s, l, a: ms_deform_attn_pallas(
+                v, s, l, a, args.tile_q, interp, layout=layout)
+        return _mk
+
     builders = {
         "hl": lambda interp: build_hl(False, args.tile_q, interp),
         "hlb": lambda interp: build_hl(True, args.tile_q, interp),
         "shb": lambda interp: build_shb(args.tile_q, interp),
+        # the PRODUCTION kernel's two layouts (ms_deform_attn_kernel.py) —
+        # these are what the model actually ships
+        "pbh": build_prod("bh"),
+        "phl": build_prod("hl"),
     }
 
     if args.parity:
