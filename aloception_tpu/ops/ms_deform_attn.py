@@ -249,7 +249,22 @@ def _msda_pallas_fwd(shapes, value, loc, w):
     return _msda_pallas(shapes, value, loc, w), (value, loc, w)
 
 
+# Backward knob: "block" (default) = autodiff of the block formulation;
+# "pallas" = the dedicated bwd kernel (ms_deform_attn_pallas_bwd) — held
+# behind the flag until the hardware parity gate (tpu_parity_msda.py,
+# which checks BOTH) proves the fused-epilogue miscompile workaround holds
+# at production dims on the target backend.
+PALLAS_BWD = os.environ.get("ALO_MSDA_BWD", "block")
+
+
 def _msda_pallas_bwd(shapes, res, g):
+    if PALLAS_BWD == "pallas":
+        import jax as _jax
+        from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas_bwd
+        value, loc, w = res
+        return ms_deform_attn_pallas_bwd(
+            value, shapes, loc, w, g,
+            interpret=_jax.default_backend() == "cpu")
     # Backward = autodiff of the block formulation, verified EXACT on the
     # real TPU vs a CPU oracle (maxdiff ~1e-5 at B=2 nH=8 Lq=300, 4 levels).
     # The dedicated Pallas backward kernel (pallas/ms_deform_attn_kernel.py

@@ -82,6 +82,38 @@ def run(verbose: bool = True) -> bool:
                   f'scale {scale:.2f} rel {rel:.2e}'
                   f'{"" if rel <= GRAD_REL_TOL else "  <-- FAIL"}',
                   flush=True)
+
+    # the dedicated Pallas backward kernel, on hardware, at the same dims
+    # (informational unless ALO_MSDA_BWD=pallas ships it): the round-2
+    # fused-epilogue miscompile made it non-default — this measures
+    # whether the barrier + raised-VMEM workaround holds on this backend.
+    try:
+        from aloception_tpu.ops.pallas.ms_deform_attn_kernel import (
+            ms_deform_attn_pallas, ms_deform_attn_pallas_bwd)
+        # d/dx sum(f^2) = vjp with cotangent 2*f — same loss as g_ref above
+        g_out = 2.0 * ms_deform_attn_pallas(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+        g_ded = ms_deform_attn_pallas_bwd(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
+            g_out)
+        import os as _os
+        bwd_ships = _os.environ.get('ALO_MSDA_BWD') == 'pallas'
+        for name, a, b in zip(('dvalue', 'dloc', 'dw'), g_ded, g_ref):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-6)
+            rel = np.abs(a - b).max() / scale
+            bad = rel > GRAD_REL_TOL
+            if bwd_ships:
+                ok &= not bad
+            if verbose:
+                print(f'bwd-kernel {name}: rel {rel:.2e}'
+                      f'{"  <-- FAIL" if bad else ""}'
+                      f'{"" if bwd_ships else " (informational)"}',
+                      flush=True)
+    except Exception as e:
+        if verbose:
+            print(f'bwd-kernel: EXCEPTION {type(e).__name__}: {e} '
+                  f'(informational)', flush=True)
     if verbose:
         print(f'MSDA parity: {"OK" if ok else "FAIL"}', flush=True)
     return ok
