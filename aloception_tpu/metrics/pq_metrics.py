@@ -69,10 +69,15 @@ class PQMetrics:
         """p_mask / t_mask: aloscene.Mask (N, H, W) with Labels.
 
         Instance-level PQ matching (compute_pq.py / panopticapi semantics):
-        each mask channel is one segment; a (pred, gt) pair of the same
-        class with IoU > 0.5 is a TP (with id maps such a match is unique);
-        unmatched preds are FP unless more than half their area lies on
-        VOID ground truth; unmatched gts are FN."""
+        each mask channel is one segment via the argmax instance-id map —
+        like the reference (compute_pq.py:185 builds pred segments from
+        ``mask2id``), a channel fully occluded by later channels has zero
+        id-map area and drops out entirely (it is NOT an FP; panopticapi
+        operates on id maps where overlaps cannot exist). Same-class pairs
+        match at IoU > threshold, one-to-one; at the standard 0.5 threshold
+        id-map matches are unique mathematically, the explicit guard covers
+        lower thresholds. Unmatched preds are FP unless more than half
+        their area lies on VOID ground truth; unmatched gts are FN."""
         p_inst, p_cats = self._segments(p_mask)
         t_inst, t_cats = self._segments(t_mask)
 
@@ -99,7 +104,7 @@ class PQMetrics:
         matched_p, matched_t = set(), set()
         for key, inter in zip(keys.tolist(), inters.tolist()):
             i, j = key // K, key % K
-            if p_cats[i] != t_cats[j]:
+            if p_cats[i] != t_cats[j] or i in matched_p or j in matched_t:
                 continue
             union = p_area[i] + t_area[j] - inter
             iou = inter / union if union else 0.0

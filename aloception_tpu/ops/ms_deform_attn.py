@@ -229,9 +229,15 @@ import functools
 # "hl" = heads-in-lanes — all heads in one block, (head, corner) packed on
 # the lane axis (nH*4P = 128 exactly at production config) so every
 # one-hot compare-select runs at full lane utilization.
+# Module attribute PALLAS_LAYOUT (or the env var, read at TRACE time so
+# setting it after import still works) selects the layout.
 import os
 
-PALLAS_LAYOUT = os.environ.get("ALO_MSDA_LAYOUT", "bh")
+PALLAS_LAYOUT: "str | None" = None  # None -> read ALO_MSDA_LAYOUT / "bh"
+
+
+def _layout() -> str:
+    return PALLAS_LAYOUT or os.environ.get("ALO_MSDA_LAYOUT", "bh")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -242,7 +248,7 @@ def _msda_pallas(shapes, value, loc, w):
     # Tq=64 keeps the per-program coeff/iota planes under the 16M VMEM cap
     # at encoder-scale levels (128 OOMs at level0 HW=6400)
     return ms_deform_attn_pallas(value, shapes, loc, w, 64, interpret,
-                                 layout=PALLAS_LAYOUT)
+                                 layout=_layout())
 
 
 def _msda_pallas_fwd(shapes, value, loc, w):
@@ -253,12 +259,17 @@ def _msda_pallas_fwd(shapes, value, loc, w):
 # "pallas" = the dedicated bwd kernel (ms_deform_attn_pallas_bwd) — held
 # behind the flag until the hardware parity gate (tpu_parity_msda.py,
 # which checks BOTH) proves the fused-epilogue miscompile workaround holds
-# at production dims on the target backend.
-PALLAS_BWD = os.environ.get("ALO_MSDA_BWD", "block")
+# at production dims on the target backend. Read at TRACE time (env var or
+# the module attribute) so setting it after import still takes effect.
+PALLAS_BWD: "str | None" = None  # None -> read ALO_MSDA_BWD / "block"
+
+
+def _bwd_impl() -> str:
+    return PALLAS_BWD or os.environ.get("ALO_MSDA_BWD", "block")
 
 
 def _msda_pallas_bwd(shapes, res, g):
-    if PALLAS_BWD == "pallas":
+    if _bwd_impl() == "pallas":
         import jax as _jax
         from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas_bwd
         value, loc, w = res

@@ -17,7 +17,6 @@ No NCCL/MPI analog anywhere: the mesh + ppermute IS the pipeline fabric.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Sequence
 
 import jax
@@ -103,10 +102,14 @@ def gpipe(layer_apply: Callable, stacked_params: Any, x: jnp.ndarray,
         T = n_micro + S - 1
         zero = jnp.zeros_like(micro_x[0])
         _, outs = jax.lax.scan(tick, zero, jnp.arange(T))
-        # microbatch m leaves the last stage at tick m + S - 1
+        # microbatch m leaves the last stage at tick m + S - 1. Broadcast
+        # the last stage's rows with where+psum — NOT ys * mask: non-final
+        # stages compute on zero bootstrap activations during warmup ticks,
+        # and a layer that emits NaN/inf on zeros (0/0 norms, log, 1/x)
+        # would poison every chip through NaN * 0.0 = NaN.
         ys = outs[S - 1:]                                # (n_micro, mB, ...)
-        last = jnp.asarray(stage == S - 1, ys.dtype)
-        ys = jax.lax.psum(ys * last, axis)               # broadcast over pp
+        ys = jnp.where(stage == S - 1, ys, jnp.zeros_like(ys))
+        ys = jax.lax.psum(ys, axis)                      # broadcast over pp
         return ys.reshape(xb.shape)
 
     spec_x = P("dp", *([None] * (x.ndim - 1)))

@@ -46,15 +46,25 @@ def constrain_tokens(x, axis: str = "sp"):
     the all-gathers only where attention needs full keys/values — the
     Megatron-LM sequence-parallel schedule, derived from one annotation
     (scaling-book recipe: annotate, let XLA insert collectives)."""
-    try:
-        from jax._src.mesh import thread_resources
-        mesh = thread_resources.env.physical_mesh
-        if mesh.empty or axis not in mesh.shape or mesh.shape[axis] == 1:
-            return x
+    shape = None
+    try:  # modern context: jax.set_mesh / jax.sharding.use_mesh
+        am = jax.sharding.get_abstract_mesh()
+        if am is not None and len(am.shape):
+            shape = dict(am.shape)
     except Exception:
+        pass
+    if shape is None:
+        try:  # legacy context: `with mesh:` (thread resource env)
+            from jax._src.mesh import thread_resources
+            mesh = thread_resources.env.physical_mesh
+            if not mesh.empty:
+                shape = dict(mesh.shape)
+        except Exception:
+            pass
+    if not shape or shape.get(axis, 1) == 1:
         return x
     spec = [None] * x.ndim
-    spec[0] = "dp" if x.shape[0] % mesh.shape.get("dp", 1) == 0 else None
+    spec[0] = "dp" if x.shape[0] % shape.get("dp", 1) == 0 else None
     spec[1] = axis
     return jax.lax.with_sharding_constraint(x, P(*spec))
 

@@ -140,11 +140,20 @@ class PQMetricsCallback(Callback):
         # (inference_with_masks frame_size; reference detr_panoptic.py:239)
         fs = next((tuple(g.shape[-2:]) for g in seg_list
                    if g is not None and not isinstance(g, dict)), None)
+        # probe the signature rather than catching TypeError around the
+        # call — a genuine TypeError inside the inference body must not be
+        # silently retried without upsampling
+        import inspect
+        takes_fs = False
         try:
-            results = trainer.inference_fn(outputs, frame_size=fs) \
-                if fs else trainer.inference_fn(outputs)
-        except TypeError:
-            results = trainer.inference_fn(outputs)
+            sig = inspect.signature(trainer.inference_fn)
+            takes_fs = "frame_size" in sig.parameters or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values())
+        except (TypeError, ValueError):
+            pass
+        results = trainer.inference_fn(outputs, frame_size=fs) \
+            if (fs and takes_fs) else trainer.inference_fn(outputs)
         for (boxes, masks), gt in zip(results, seg_list):
             if gt is not None and not isinstance(gt, dict):
                 self.pq.add_sample(masks, gt, isthing=self.isthing)

@@ -19,8 +19,13 @@ from ..models.detr.criterion import detr_criterion
 
 def make_detr_train_step(model, criterion: Callable = detr_criterion,
                          criterion_kwargs: Optional[Dict] = None,
-                         donate: bool = True):
-    """Returns jitted step(state, images, mask, targets) -> (state, metrics)."""
+                         donate: bool = True, jit: bool = True):
+    """Returns jitted step(state, images, mask, targets) -> (state, metrics).
+
+    ``jit=False`` returns the raw python step for callers that embed it in
+    a larger jitted program (e.g. a lax.scan block of K chained steps —
+    scripts/train_geometry_tpu.py, bench.py) so benchmarks measure the
+    SAME step body training runs, not a re-implementation."""
     criterion_kwargs = criterion_kwargs or {}
 
     def step(state, images, mask, targets):
@@ -47,6 +52,8 @@ def make_detr_train_step(model, criterion: Callable = detr_criterion,
             jax.tree.map(lambda g: jnp.sum(g.astype(jnp.float32) ** 2), grads)) ** 0.5
         return new_state, metrics
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

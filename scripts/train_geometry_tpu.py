@@ -143,22 +143,9 @@ def main():
 
     # steady-state device throughput per bucket: K chained steps in ONE
     # dispatch (repeats the same batch; measures the train step, not the
-    # host pipeline)
-    from aloception_tpu.models.detr.criterion import detr_criterion
-
-    def _raw_step(st, images, mask, targets):
-        rng = jax.random.fold_in(st.dropout_rng, st.step)
-
-        def loss_fn(p):
-            out = model.apply(p, images, mask, deterministic=False,
-                              rngs={"dropout": rng})
-            out = jax.tree.map(
-                lambda x: x.astype(jnp.float32)
-                if isinstance(x, jax.Array) and jnp.issubdtype(
-                    x.dtype, jnp.floating) else x, out)
-            return detr_criterion(out, targets)
-        (_, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
-        return st.apply_gradients(grads=grads), m
+    # host pipeline). jit=False returns the SAME step body the streamed
+    # phase jitted — no re-implementation to drift.
+    _raw_step = make_detr_train_step(model, donate=False, jit=False)
 
     @jax.jit
     def run_block(state, images, mask, targets):
