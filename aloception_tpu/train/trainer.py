@@ -45,6 +45,7 @@ class Trainer:
                  val_check_interval: Optional[int] = None,
                  limit_train_batches: Optional[int] = None,
                  limit_val_batches: Optional[int] = None,
+                 steps_per_dispatch: int = 1,
                  seed: int = 0):
         self.model = model
         self.criterion = criterion
@@ -64,13 +65,24 @@ class Trainer:
         self.val_check_interval = val_check_interval
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
+        # K > 1 = scan-blocked dispatch: K train steps (K successive
+        # batches, stacked on a leading axis) run as ONE jitted lax.scan
+        # per dispatch, with ONE host metric fetch for the block. On the
+        # tunneled TPU a host fetch is the only true synchronization
+        # (DEVELOPMENT.md timing notes), so per-step fetches serialize the
+        # pipeline; the overfit runs use the same pattern (25-step blocks).
+        # Batches whose padded shapes differ never share a block.
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.seed = seed
         self.state = None
         self.global_step = 0
         self.last_val_metrics: Dict[str, float] = {}
         self._train_step = None
+        self._train_block = None
         self._eval_step = None
         self._metric_keys = None
+        self._block_buf: List[Dict] = []
+        self._block_sig = None
 
     # ------------------------------------------------------------------
     def _build_steps(self):
@@ -121,6 +133,12 @@ class Trainer:
                                    static_argnums=())
         self._eval_step = jax.jit(eval_step)
 
+        if self.steps_per_dispatch > 1:
+            def train_block(state, stacked):
+                # stacked: every batch leaf gains a leading (K,) axis
+                return jax.lax.scan(train_step, state, stacked)
+            self._train_block = jax.jit(train_block, donate_argnums=(0,))
+
     def _init_state(self, batch):
         params = self.model.init(jax.random.PRNGKey(self.seed),
                                  *batch["inputs"])
@@ -141,6 +159,47 @@ class Trainer:
                 {"inputs": prepared["inputs"], "targets": prepared["targets"]},
                 self.mesh)
 
+    def _flush_block(self):
+        """Dispatch the buffered batches as one scan block (or one plain
+        step for a singleton), fetch the block's metrics in one transfer,
+        and fire per-step callbacks."""
+        buf, self._block_buf, self._block_sig = self._block_buf, [], None
+        if not buf:
+            return
+        if len(buf) == 1:
+            batch = self._device_batch(buf[0])
+            with self.mesh:
+                self.state, metrics = self._train_step(self.state, batch)
+            rows = np.asarray(metrics)[None]
+        else:
+            block = self._device_block(buf)
+            with self.mesh:
+                self.state, metrics = self._train_block(self.state, block)
+            rows = np.asarray(metrics)                 # (K, M), one fetch
+        for row in rows:
+            self.global_step += 1
+            md = dict(zip(self._metric_keys, row.tolist()))
+            for cb in self.callbacks:
+                cb.on_train_batch_end(self, md, self.global_step)
+
+    def _device_block(self, buffer: List[Dict]) -> Dict:
+        """Stack K prepared host batches on a leading axis and place them
+        with dp on axis 1 (the per-step batch axis)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *[{"inputs": b["inputs"], "targets": b["targets"]}
+              for b in buffer])
+        dp = self.mesh.shape.get("dp", 1)
+
+        def _put(x):
+            if x.ndim >= 2 and x.shape[1] % dp == 0:
+                spec = P(None, "dp", *([None] * (x.ndim - 2)))
+            else:
+                spec = P()
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+        return jax.tree_util.tree_map(_put, stacked)
+
     # ------------------------------------------------------------------
     def fit(self, train_loader, val_loader=None, max_epochs: int = 1,
             max_steps: Optional[int] = None, resume: bool = False):
@@ -153,7 +212,9 @@ class Trainer:
                 if self.limit_train_batches and i >= self.limit_train_batches:
                     break
                 prepared = self.prepare_batch(raw)
-                batch = self._device_batch(prepared)
+                batch = self._device_batch(prepared) \
+                    if self.steps_per_dispatch == 1 or self.state is None \
+                    else None
                 if self.state is None:
                     self._init_state(batch)
                     if resume:
@@ -183,19 +244,36 @@ class Trainer:
                                   f"{self.ckpt.last_step()}")
                         except FileNotFoundError:
                             pass
-                with self.mesh:
-                    self.state, metrics = self._train_step(self.state, batch)
-                self.global_step += 1
-                vals = np.asarray(metrics)  # single transfer
-                metrics = dict(zip(self._metric_keys, vals.tolist()))
-                for cb in self.callbacks:
-                    cb.on_train_batch_end(self, metrics, self.global_step)
-                if max_steps and self.global_step >= max_steps:
+                K = self.steps_per_dispatch
+                if K > 1:
+                    sig = tuple(
+                        tuple(np.shape(x))
+                        for x in jax.tree_util.tree_leaves(prepared))
+                    if self._block_buf and sig != self._block_sig:
+                        self._flush_block()  # shape changed: new bucket
+                    self._block_buf.append(prepared)
+                    self._block_sig = sig
+                    if len(self._block_buf) >= K:
+                        self._flush_block()
+                else:
+                    with self.mesh:
+                        self.state, metrics = self._train_step(self.state,
+                                                               batch)
+                    self.global_step += 1
+                    vals = np.asarray(metrics)  # single transfer
+                    metrics = dict(zip(self._metric_keys, vals.tolist()))
+                    for cb in self.callbacks:
+                        cb.on_train_batch_end(self, metrics,
+                                              self.global_step)
+                if max_steps and self.global_step + len(self._block_buf) \
+                        >= max_steps:
                     break
                 if (self.val_check_interval
+                        and not self._block_buf
                         and self.global_step % self.val_check_interval == 0
                         and val_loader is not None):
                     self.validate(val_loader)
+            self._flush_block()
             if val_loader is not None:
                 self.validate(val_loader)
             self.ckpt.save(self.global_step, self.state,

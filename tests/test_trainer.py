@@ -213,3 +213,35 @@ def test_onecycle_schedule_shape():
     assert float(s(25)) > float(s(0))
     assert float(s(500)) < float(s(50))
     assert float(s(total + 500)) == float(s(total))
+
+
+def test_steps_per_dispatch_matches_sequential(tiny_setup):
+    """steps_per_dispatch=2 (scan-blocked dispatch, one metric fetch per
+    block) must produce the same trained params as per-step dispatch on
+    the same batch sequence."""
+    dm, model, log_dir = tiny_setup
+    batches = []
+    loader = dm.train_dataloader()
+    it = iter(loader)
+    while len(batches) < 4:  # sample set is tiny: cycle the loader
+        try:
+            batches.append(next(it))
+        except StopIteration:
+            it = iter(loader)
+
+    def run(k):
+        t = make_detr_trainer(
+            model=model, data_module=dm, log_dir=log_dir,
+            expe_name=f"blockk{k}", callbacks=[MetricsCallback()],
+            limit_train_batches=4, steps_per_dispatch=k)
+        t.fit(batches, None, max_epochs=1)
+        assert t.global_step == 4
+        return jax.device_get(t.state.params)
+
+    p1 = run(1)
+    p2 = run(2)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
