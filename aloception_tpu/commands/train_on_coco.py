@@ -39,6 +39,10 @@ def add_argparse_args(p: argparse.ArgumentParser):
     p.add_argument("--log_dir", default=None,
                    help="experiment root (default ~/.aloception_tpu/"
                         "experiments via the alonet config)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="K>1: run K batches as one jitted scan block per "
+                        "dispatch (one host metric fetch per block; see "
+                        "docs/training.md)")
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel axis size")
     p.add_argument("--bf16", action="store_true")
@@ -68,6 +72,7 @@ def main(argv=None):
     kwargs = dict(
         data_module=dm, run_id=args.run_id, expe_name=args.expe_name,
         log=args.log, tp=args.tp,
+        steps_per_dispatch=args.steps_per_dispatch,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         callbacks=[MetricsCallback(),
                    PQMetricsCallback() if args.model == "panoptic"
