@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="K>1: K batches per jitted scan block "
+                        "(docs/training.md)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -35,7 +38,8 @@ def main(argv=None):
     # OneCycleLR over max_steps + 100 when a step budget is given, exactly
     # like the reference (alonet/raft/train.py:76-86)
     kwargs = dict(data_module=dm, small=args.small, iters=args.iters,
-                  log=args.log, run_id=args.run_id, num_steps=args.max_steps)
+                  log=args.log, run_id=args.run_id, num_steps=args.max_steps,
+                  steps_per_dispatch=args.steps_per_dispatch)
     if args.tiny:
         from aloception_tpu.models.raft import RAFT
         kwargs["model"] = RAFT(hidden_dim=32, context_dim=32, corr_levels=2,
