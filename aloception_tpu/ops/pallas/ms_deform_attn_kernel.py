@@ -178,7 +178,8 @@ def _kernel(value_ref, idx_ref, cw_ref, out_ref, *, shapes, starts, P):
     out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
 
 
-def _kernel_hl(value_ref, idx_ref, cw_ref, out_ref, *, shapes, P, nH, C):
+def _kernel_hl(value_ref, idx_ref, cw_ref, out_ref, *, shapes, P, nH, C,
+               bf16_cmp=False):
     """HEADS-IN-LANES forward variant. Grid: (B, Lq // Tq) — one block
     covers ALL heads.
 
@@ -211,10 +212,16 @@ def _kernel_hl(value_ref, idx_ref, cw_ref, out_ref, *, shapes, P, nH, C):
         hi = idx_l // _LANE
         lo = idx_l - hi * _LANE
         nJh = idx_l.shape[1]
-        iota_m = jax.lax.broadcasted_iota(jnp.int32, (Tq, M, nJh), 1)
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (Tq, _LANE, nJh), 1)
-        HaT = jnp.where(iota_m == hi[:, None, :], cw_l[:, None, :], 0.0)
-        LbT = jnp.where(iota_l == lo[:, None, :], 1.0, 0.0)
+        # bf16 compares ("hlb"): hi < M <= 67 and lo < 128 are exact in
+        # bfloat16, and bf16 vregs pack 2x the elements per compare pass;
+        # the select OUTPUT stays f32 (cw_l is untouched) so no precision
+        # is lost — only the iota/operand layout changes.
+        cmp_t = jnp.bfloat16 if bf16_cmp else jnp.int32
+        hi_c, lo_c = hi.astype(cmp_t), lo.astype(cmp_t)
+        iota_m = jax.lax.broadcasted_iota(cmp_t, (Tq, M, nJh), 1)
+        iota_l = jax.lax.broadcasted_iota(cmp_t, (Tq, _LANE, nJh), 1)
+        HaT = jnp.where(iota_m == hi_c[:, None, :], cw_l[:, None, :], 0.0)
+        LbT = jnp.where(iota_l == lo_c[:, None, :], 1.0, 0.0)
         for h in range(nH):
             sl = slice(h * 4 * P, (h + 1) * 4 * P)
             c = jax.lax.dot_general(
@@ -304,7 +311,8 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
 
     layout: "bh" = per-(batch, head) grid (the shipped transposed
     construction); "hl" = heads-in-lanes (_kernel_hl) — all heads in one
-    block with (head, corner) packed on the lane axis.
+    block with (head, corner) packed on the lane axis; "hlb" = hl with
+    bf16 compare operands (exact: hi/lo < 128; select outputs stay f32).
     """
     B, Len_v, nH, C = value.shape
     Lq = sampling_locations.shape[1]
@@ -331,12 +339,12 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
     if not interpret:
         value_h, idx, cw = jax.lax.optimization_barrier((value_h, idx, cw))
 
-    if layout == "hl":
+    if layout in ("hl", "hlb"):
         # (B, nH, L, Lq_p, 4P) -> (B, L, Lq_p, nH*4P)
         idx_hl = idx.transpose(0, 2, 3, 1, 4).reshape(B, L, Lq_p, nH * 4 * P)
         cw_hl = cw.transpose(0, 2, 3, 1, 4).reshape(B, L, Lq_p, nH * 4 * P)
         kernel = functools.partial(_kernel_hl, shapes=shapes, P=P, nH=nH,
-                                   C=C)
+                                   C=C, bf16_cmp=layout == "hlb")
         out = pl.pallas_call(
             kernel,
             grid=(B, Lq_p // Tq),

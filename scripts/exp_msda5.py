@@ -269,7 +269,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
-    ap.add_argument("--variants", default="pbh,phl,hl,hlb,shb")
+    ap.add_argument("--variants", default="pbh,phl,phlb,hl,hlb,shb")
     ap.add_argument("--tile-q", type=int, default=64)
     ap.add_argument("--decoder", action="store_true",
                     help="Lq=300 decoder shape instead of the encoder")
@@ -316,6 +316,7 @@ def main():
         # these are what the model actually ships
         "pbh": build_prod("bh"),
         "phl": build_prod("hl"),
+        "phlb": build_prod("hlb"),
     }
 
     if args.parity:

@@ -50,7 +50,7 @@ def run(verbose: bool = True) -> bool:
     # ALO_MSDA_LAYOUT; a layout flip must never skip hardware parity)
     from aloception_tpu.ops.pallas.ms_deform_attn_kernel import (
         ms_deform_attn_pallas)
-    for layout in ('bh', 'hl'):
+    for layout in ('bh', 'hl', 'hlb'):
         o = np.asarray(ms_deform_attn_pallas(
             jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
             64, False, layout=layout))

@@ -39,7 +39,7 @@ run msda5_b16 2400 python scripts/exp_msda5.py --b 16
 run msda5_b8 1800 python scripts/exp_msda5.py --b 8
 run msda5_dec 1200 python scripts/exp_msda5.py --b 16 --decoder
 # hl at a bigger query tile (fewer grid steps; VMEM now level-scoped)
-run msda5_t128 1200 python scripts/exp_msda5.py --b 16 --tile-q 128 --variants phl,pbh
+run msda5_t128 1200 python scripts/exp_msda5.py --b 16 --tile-q 128 --variants phl,phlb,pbh
 
 # where the deformable batch goes now (bs16 640 bf16)
 run prof_deform 2700 python scripts/profile_deformable.py

@@ -140,10 +140,11 @@ def test_ms_deform_attn_pallas_hl_layout_parity():
         ms_deform_attn_pallas)
     value, shapes, loc, w = _msda_inputs()
     want = ms_deform_attn_lax(value, shapes, loc, w)
-    got = ms_deform_attn_pallas(value, shapes, loc, w, 64, True,
-                                layout="hl")
-    assert got.shape == want.shape
-    assert float(jnp.abs(got - want).max()) < 1e-5
+    for layout in ("hl", "hlb"):
+        got = ms_deform_attn_pallas(value, shapes, loc, w, 64, True,
+                                    layout=layout)
+        assert got.shape == want.shape
+        assert float(jnp.abs(got - want).max()) < 1e-5, layout
 
 
 def test_ms_deform_attn_pallas_bwd_kernel_direct():
