@@ -149,3 +149,50 @@ def test_inference_with_masks(detr_panoptic):
     assert boxes.shape[0] == masks.shape[0]
     arr = masks.as_numpy()
     assert set(np.unique(arr)) <= {0.0, 1.0}
+
+
+def test_panoptic_head_composes_with_deformable():
+    """The reference ships a dedicated deformable_detr_panoptic package
+    (LitPanopticDeformableDetr, deformable_detr_panoptic/train.py:13);
+    here the SAME DetrPanoptic wrapper composes with a DeformableDETR
+    detector — it emits enc_outputs_spatial / proj_src / feat_mask /
+    bb_outputs for the mask head (deformable_detr.py:143-155). Forward
+    shape + mask-loss gradients must be finite."""
+    from aloception_tpu.models.deformable_detr import DeformableDETR
+
+    detector = DeformableDETR(num_classes=6, hidden_dim=32, num_queries=8,
+                              nheads=4, num_encoder_layers=1,
+                              num_decoder_layers=1, dim_feedforward=64,
+                              stage_sizes=(1, 1, 1, 1), dropout=0.0,
+                              with_box_refine=False,
+                              return_intermediate=True)
+    model = DetrPanoptic(detector=detector, num_classes=6,
+                         freeze_detector=True)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, 64, 96, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images)
+    out = model.apply(params, images)
+    assert out["pred_masks"].shape[:2] == (1, 8)
+    assert out["pred_masks"].shape[2:] == (16, 24)  # stride 4
+
+    masks = np.zeros((1, 2, 64, 96), np.float32)
+    masks[0, 0, :32] = 1.0
+    masks[0, 1, 32:] = 1.0
+    targets = {
+        "boxes": jnp.asarray([[[0.5, 0.25, 0.9, 0.5],
+                               [0.5, 0.75, 0.9, 0.5]]], jnp.float32),
+        "labels": jnp.asarray([[0, 2]], jnp.int32),
+        "valid": jnp.asarray([[True, True]]),
+        "masks": jnp.asarray(masks),
+    }
+
+    def loss_fn(p):
+        o = model.apply(p, images)
+        loss, _ = panoptic_criterion(o, targets)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = float(jnp.sqrt(sum((g.astype(jnp.float32) ** 2).sum()
+                               for g in jax.tree.leaves(grads))))
+    assert np.isfinite(gnorm) and gnorm > 0
