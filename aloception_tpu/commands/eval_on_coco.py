@@ -15,7 +15,8 @@ import argparse
 def main(argv=None):
     p = argparse.ArgumentParser(__doc__)
     p.add_argument("--model", default="detr",
-                   choices=["detr", "deformable", "panoptic"])
+                   choices=["detr", "deformable", "panoptic",
+                            "panoptic_deformable"])
     p.add_argument("--sample", action="store_true")
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--size", type=int, nargs=2, default=(480, 640))
@@ -52,24 +53,40 @@ def main(argv=None):
         print(f"[eval] run_id {args.run_id} -> {args.ckpt_dir}")
 
     dm = CocoDetection2Detr(batch_size=args.batch_size, sample=args.sample,
-                            return_masks=args.model == "panoptic",
+                            return_masks=args.model.startswith("panoptic"),
                             size=tuple(args.size))
     n_cls = len(dm.label_names) if dm.label_names else 91
 
-    if args.model == "panoptic":
-        from aloception_tpu.models.detr import Detr
+    if args.model.startswith("panoptic"):
         from aloception_tpu.models.panoptic import (DetrPanoptic,
                                                     inference_with_masks)
-        detector = Detr(
-            num_classes=n_cls, hidden_dim=64, num_queries=20, nheads=4,
-            num_encoder_layers=2, num_decoder_layers=2, dim_feedforward=128,
-            stage_sizes=(1, 1, 1, 1), return_intermediate=True) \
-            if args.tiny else None
+        if args.model == "panoptic_deformable":
+            # reference: alonet/deformable_detr_panoptic/eval_on_coco.py
+            from aloception_tpu.models.deformable_detr import (
+                DeformableDETR, deformable_detr_r50)
+            detector = DeformableDETR(
+                num_classes=n_cls, hidden_dim=64, num_queries=20, nheads=4,
+                num_encoder_layers=2, num_decoder_layers=2,
+                dim_feedforward=128, stage_sizes=(1, 1, 1, 1),
+                with_box_refine=False, return_intermediate=True) \
+                if args.tiny else deformable_detr_r50(
+                    num_classes=n_cls, return_intermediate=True)
+            act = "sigmoid"
+        else:
+            from aloception_tpu.models.detr import Detr
+            detector = Detr(
+                num_classes=n_cls, hidden_dim=64, num_queries=20, nheads=4,
+                num_encoder_layers=2, num_decoder_layers=2,
+                dim_feedforward=128,
+                stage_sizes=(1, 1, 1, 1), return_intermediate=True) \
+                if args.tiny else None
+            act = "softmax"
         model = DetrPanoptic(detector=detector, num_classes=n_cls)
         num_queries = detector.num_queries if detector else 100
         inference = lambda o, fs=None: inference_with_masks(
-            o, threshold=args.threshold, background_class=n_cls,
-            frame_size=fs)
+            o, threshold=args.threshold if act == "softmax"
+            else max(args.threshold, 0.2),
+            background_class=n_cls, activation_fn=act, frame_size=fs)
     elif args.model == "detr":
         from aloception_tpu.models.detr import Detr, detr_r50
         from aloception_tpu.models.detr import inference as inf
@@ -93,14 +110,14 @@ def main(argv=None):
         inference = lambda o, fs=None: inf(o, threshold=max(args.threshold,
                                                             0.2))
 
-    if args.model != "panoptic":
+    if not args.model.startswith("panoptic"):
         num_queries = model.num_queries
     dm.max_targets = min(dm.max_targets, num_queries)
     loader = dm.val_dataloader()
     params = None
     apply = jax.jit(lambda p, i, m: model.apply(p, i, m))
     metrics = ApMetrics()
-    pq_metrics = PQMetrics() if args.model == "panoptic" else None
+    pq_metrics = PQMetrics() if args.model.startswith("panoptic") else None
 
     for i, frames_list in enumerate(loader):
         if args.limit_batches and i >= args.limit_batches:

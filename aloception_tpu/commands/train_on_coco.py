@@ -16,7 +16,8 @@ import argparse
 def add_argparse_args(p: argparse.ArgumentParser):
     """(shared flags, pl_helpers.py:41-130 + detr/train.py:61)"""
     p.add_argument("--model", default="detr",
-                   choices=["detr", "deformable", "panoptic"])
+                   choices=["detr", "deformable", "panoptic",
+                            "panoptic_deformable"])
     p.add_argument("--sample", action="store_true",
                    help="use offline synthetic COCO sample fixtures")
     p.add_argument("--train_on_val", action="store_true")
@@ -67,7 +68,7 @@ def main(argv=None):
                             num_workers=args.num_workers,
                             train_on_val=args.train_on_val,
                             sample=args.sample,
-                            return_masks=args.model == "panoptic",
+                            return_masks=args.model.startswith("panoptic"),
                             size=None if args.multiscale else tuple(args.size))
     kwargs = dict(
         data_module=dm, run_id=args.run_id, expe_name=args.expe_name,
@@ -75,7 +76,7 @@ def main(argv=None):
         steps_per_dispatch=args.steps_per_dispatch,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         callbacks=[MetricsCallback(),
-                   PQMetricsCallback() if args.model == "panoptic"
+                   PQMetricsCallback() if args.model.startswith("panoptic")
                    else ApMetricsCallback()])
     if args.project:
         kwargs["project"] = args.project
@@ -103,17 +104,39 @@ def main(argv=None):
                 num_encoder_layers=2, num_decoder_layers=2,
                 dim_feedforward=128, stage_sizes=(1, 1, 1, 1),
                 with_box_refine=True)
-        else:
+        elif args.model == "panoptic":
             from aloception_tpu.models.detr import Detr
             kwargs["detector"] = Detr(
                 num_classes=n_cls, hidden_dim=64, num_queries=20, nheads=4,
                 num_encoder_layers=2, num_decoder_layers=2,
                 dim_feedforward=128, stage_sizes=(1, 1, 1, 1),
                 return_intermediate=True)
-    if args.model == "panoptic":
+        else:  # panoptic_deformable
+            from aloception_tpu.models.deformable_detr import DeformableDETR
+            kwargs["detector"] = DeformableDETR(
+                num_classes=n_cls, hidden_dim=64, num_queries=20, nheads=4,
+                num_encoder_layers=2, num_decoder_layers=2,
+                dim_feedforward=128, stage_sizes=(1, 1, 1, 1),
+                with_box_refine=False, return_intermediate=True)
+    if args.model.startswith("panoptic"):
         # LitPanopticDetr trains only the head on a frozen detector
-        # (reference alonet/detr_panoptic/train.py:13)
+        # (reference alonet/detr_panoptic/train.py:13); the deformable
+        # variant mirrors alonet/deformable_detr_panoptic/train.py:13
+        # (focal base criterion + focal matcher for the mask matching)
         kwargs.pop("model", None)
+        if args.model == "panoptic_deformable":
+            from functools import partial
+            from aloception_tpu.models.panoptic import panoptic_criterion
+            from aloception_tpu.models.deformable_detr.criterion import (
+                deformable_criterion, focal_hungarian_match)
+            from aloception_tpu.models.deformable_detr import (
+                deformable_detr_r50)
+            kwargs["criterion"] = partial(
+                panoptic_criterion, base_criterion=deformable_criterion,
+                matcher=focal_hungarian_match)
+            if "detector" not in kwargs:
+                kwargs["detector"] = deformable_detr_r50(
+                    num_classes=n_cls, return_intermediate=True)
         make = make_panoptic_trainer
     else:
         make = make_detr_trainer if args.model == "detr" \

@@ -86,3 +86,27 @@ def test_train_then_eval_from_checkpoint(tmp_path, capsys):
     assert "[eval] run_id evalrun1 ->" in out
     assert "[eval] restored step 2" in out
     assert "[eval_on_coco] AP=" in out
+
+
+def test_train_on_coco_panoptic_deformable_fast_dev_run(capsys):
+    """--model panoptic_deformable wires a DeformableDETR detector +
+    focal base criterion/matcher into the panoptic trainer (reference
+    alonet/deformable_detr_panoptic/train_on_coco.py)."""
+    from aloception_tpu.commands import train_on_coco
+    train_on_coco.main(["--cpu", "--sample", "--tiny", "--fast_dev_run",
+                        "--model", "panoptic_deformable",
+                        "--size", "64", "96", "--batch_size", "2"])
+    out = capsys.readouterr().out
+    assert "[train_on_coco] done: step=" in out
+    assert "PQ[all]" in out
+
+
+def test_eval_on_coco_panoptic_deformable(capsys):
+    """--model panoptic_deformable produces the PQ table (reference
+    alonet/deformable_detr_panoptic/eval_on_coco.py)."""
+    from aloception_tpu.commands import eval_on_coco
+    eval_on_coco.main(["--cpu", "--sample", "--tiny",
+                       "--model", "panoptic_deformable",
+                       "--limit_batches", "1", "--size", "96", "128"])
+    out = capsys.readouterr().out
+    assert "[eval_on_coco] PQ=" in out
