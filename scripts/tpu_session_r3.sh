@@ -41,6 +41,10 @@ run msda5_dec 1200 python scripts/exp_msda5.py --b 16 --decoder
 # hl at a bigger query tile (fewer grid steps; VMEM now level-scoped)
 run msda5_t128 1200 python scripts/exp_msda5.py --b 16 --tile-q 128 --variants phl,phlb,pbh
 
+# dedicated backward kernel: parity + timing vs block autodiff (VERDICT #6)
+run bwd_dec 1800 python scripts/exp_bwd_kernel.py
+run bwd_enc 1800 python scripts/exp_bwd_kernel.py --encoder
+
 # where the deformable batch goes now (bs16 640 bf16)
 run prof_deform 2700 python scripts/profile_deformable.py
 
