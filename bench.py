@@ -24,6 +24,7 @@ Timing methodology (tunneled TPU backend):
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -155,6 +156,47 @@ def bench_raft(args):
     }
 
 
+def bench_loader(args):
+    """Host data-path throughput: the native C++ loader (runtime/
+    aloloader.cpp: threaded JPEG decode + bilinear resize + resnet
+    normalize into one caller-owned buffer) on synthetic COCO-sized
+    JPEGs. Hardware-independent — the host side of training throughput
+    (reference analog: torch DataLoader's C++ worker pool)."""
+    import tempfile
+
+    import cv2
+    from aloception_tpu.runtime.loader import (NativeImageLoader,
+                                               native_loader_available)
+    if not native_loader_available():
+        raise RuntimeError("native loader unavailable")
+
+    n_img = 64
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="alo_bench_loader_")
+    paths = []
+    for i in range(n_img):
+        img = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+        p = os.path.join(tmp, f"{i}.jpg")
+        cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        paths.append(p)
+
+    loader = NativeImageLoader(size=(480, 640), mode="resnet",
+                          n_threads=max(os.cpu_count() or 1, 1))
+    out, ok = loader.load_batch(paths)          # warm (page cache + pool)
+    assert bool(ok.all()), "native loader failed on synthetic jpegs"
+    iters = max(args.iters // 4, 2)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, ok = loader.load_batch(paths)
+    dt = (time.perf_counter() - t0) / (iters * n_img)
+    return {
+        "metric": "native_loader_decode_resize_norm_imgs_per_sec_640px",
+        "value": round(1.0 / dt, 1),
+        "unit": "images/sec/host",
+        "vs_baseline": None,
+    }
+
+
 def _device_probe(timeout_s: int = 240) -> bool:
     """Fail fast if the TPU claim is unreachable. The axon claim can wedge
     server-side (DEVELOPMENT.md round-3: jax.devices() hung >15h after a
@@ -270,7 +312,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--backend", default=None, help="force jax platform (cpu)")
     p.add_argument("--model", default="all",
-                   choices=["all", "detr", "raft", "deformable", "train"])
+                   choices=["all", "detr", "raft", "deformable", "train",
+                            "loader"])
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--size", type=int, default=640)
     p.add_argument("--iters", type=int, default=16)
@@ -302,14 +345,15 @@ def main():
             sys.exit(1)
 
     benches = {"detr": bench_detr, "raft": bench_raft,
-               "deformable": bench_deformable, "train": bench_train}
+               "deformable": bench_deformable, "train": bench_train,
+               "loader": bench_loader}
     if args.model != "all":
         print(json.dumps(benches[args.model](args)))
         return
 
     extra = {}
     headline = bench_detr(args)
-    for name in ("raft", "deformable", "train"):
+    for name in ("raft", "deformable", "train", "loader"):
         try:
             r = benches[name](args)
             extra[r["metric"]] = {"value": r["value"], "unit": r["unit"]}
