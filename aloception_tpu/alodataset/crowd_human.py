@@ -183,10 +183,15 @@ class CrowdHumanDataset(SplitMixin, BaseDataset):
                 for line in f:
                     rec = json.loads(line)
                     hw = sizes.get(rec["ID"])
+                    if hw is None:
+                        # image missing or unreadable: dropping the record
+                        # beats writing absolute pixel boxes into a file the
+                        # prepared dataset will read as relative
+                        continue
                     for g in rec.get("gtboxes", []):
                         for bt in ("fbox", "vbox", "hbox"):
                             b = g.get(bt)
-                            if b is None or hw is None:
+                            if b is None:
                                 continue
                             H, W = hw
                             g[bt] = [b[0] / W, b[1] / H, b[2] / W, b[3] / H]

@@ -152,8 +152,11 @@ class DeformableDETR(nn.Module):
                 .reshape(memory.shape[0], Hp, Wp, self.hidden_dim)
             out["proj_src"] = srcs[plvl]
             out["feat_mask"] = masks[plvl]
-            out["bb_outputs"] = [f for f, _ in feats[:-3]]
-            out["bb_masks"] = [m for _, m in feats[:-3]]
+            # three FPN levels (layer1-3), same as detr.py:101 — the
+            # reference panoptic mask head consumes bb_lvl0-2 identically
+            # for both detectors (detr_panoptic.py:169)
+            out["bb_outputs"] = [f for f, _ in feats[:-1]]
+            out["bb_masks"] = [m for _, m in feats[:-1]]
             out["srcs_masks"] = masks
             out["spatial_shapes"] = spatial_shapes
         return out

@@ -83,6 +83,7 @@ class Trainer:
         self._metric_keys = None
         self._block_buf: List[Dict] = []
         self._block_sig = None
+        self._last_val_step = 0
 
     # ------------------------------------------------------------------
     def _build_steps(self):
@@ -268,10 +269,15 @@ class Trainer:
                 if max_steps and self.global_step + len(self._block_buf) \
                         >= max_steps:
                     break
+                # boundary-crossing check, not modulo: with
+                # steps_per_dispatch=K the step advances in jumps of K,
+                # which would skip non-multiple intervals entirely
                 if (self.val_check_interval
                         and not self._block_buf
-                        and self.global_step % self.val_check_interval == 0
+                        and self.global_step // self.val_check_interval
+                        > self._last_val_step // self.val_check_interval
                         and val_loader is not None):
+                    self._last_val_step = self.global_step
                     self.validate(val_loader)
             self._flush_block()
             if val_loader is not None:

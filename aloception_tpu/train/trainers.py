@@ -138,11 +138,18 @@ def make_panoptic_trainer(num_classes: int = 250, data_module=None,
             grad_clip=trainer_kwargs.get("grad_clip", 0.1),
             accumulate_steps=trainer_kwargs.get("accumulate_grad_batches", 1),
             freeze_prefixes=("detector",))
+    # inference activation must follow the DETECTOR: softmax detectors
+    # (DETR) have a background column at n_cls; sigmoid/focal detectors
+    # (Deformable) have neither — mirrors eval_on_coco.py's act selection
+    act = getattr(detector, "activation_fn", "softmax") \
+        if detector is not None else "softmax"
     trainer = Trainer(
         model=model,
         criterion=trainer_kwargs.pop("criterion", panoptic_criterion),
         prepare_batch=_make_panoptic_prepare(dm),
-        inference_fn=partial(inference_with_masks, background_class=n_cls),
+        inference_fn=partial(
+            inference_with_masks, activation_fn=act,
+            background_class=n_cls if act == "softmax" else None),
         **trainer_kwargs)
     trainer.data_module = dm
     return trainer

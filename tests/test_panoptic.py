@@ -196,3 +196,14 @@ def test_panoptic_head_composes_with_deformable():
     gnorm = float(jnp.sqrt(sum((g.astype(jnp.float32) ** 2).sum()
                                for g in jax.tree.leaves(grads))))
     assert np.isfinite(gnorm) and gnorm > 0
+
+    # the mask head must be STRUCTURALLY identical to the DETR-composed one:
+    # three FPN laterals (adapter1-3) and the full conv stack (lay1-5) —
+    # the reference feeds bb_lvl0-2 for both detectors (detr_panoptic.py:169).
+    # A regression here (feats[:-3] instead of feats[:-1]) silently built a
+    # one-adapter head.
+    mh = params["params"]["panoptic_head"]["mask_head"]
+    for name in ("adapter1", "adapter2", "adapter3",
+                 "lay1_conv", "lay2_conv", "lay3_conv", "lay4_conv",
+                 "lay5_conv", "out_lay"):
+        assert name in mh, f"mask_head missing {name}: {sorted(mh)}"
