@@ -183,13 +183,19 @@ def parse_frame(buf: bytes) -> Dict:
                 if cf == 1:
                     frame["context_name"] = cv.decode("utf-8", "replace")
                 elif cf == 2:  # camera_calibrations
-                    calib = {"intrinsic": [], "width": 0, "height": 0,
-                             "name": 0}
+                    calib = {"intrinsic": [], "extrinsic": [], "width": 0,
+                             "height": 0, "name": 0}
                     for kf, _, kv in iter_fields(cv):
                         if kf == 1:
                             calib["name"] = int(kv)
                         elif kf == 2:
                             calib["intrinsic"] = _packed_doubles(kv)
+                        elif kf == 3:
+                            # Transform msg: repeated double transform = 1
+                            # (16 row-major values, camera -> vehicle)
+                            for tf, _, tv in iter_fields(kv):
+                                if tf == 1:
+                                    calib["extrinsic"] = _packed_doubles(tv)
                         elif kf == 4:
                             calib["width"] = int(kv)
                         elif kf == 5:
@@ -277,6 +283,12 @@ def convert_tfrecord(path: str, out_dir: str,
             calib = frame["calibrations"].get(cam_id)
             if calib and calib["intrinsic"]:
                 meta["intrinsic"] = intrinsic_3x4(calib["intrinsic"])
+            if calib and len(calib.get("extrinsic", [])) == 16:
+                # raw camera->vehicle 4x4 in WAYMO axes; the reader converts
+                # to aloception axes, mirroring the reference split
+                # (waymo_dataset.py:249-256 get_frame_camera_parameters)
+                ext = calib["extrinsic"]
+                meta["extrinsic"] = [ext[i * 4:(i + 1) * 4] for i in range(4)]
             if frame["pose"]:
                 meta["pose"] = frame["pose"]
             with open(os.path.join(cam_dir, f"{frame_idx:06d}.json"),

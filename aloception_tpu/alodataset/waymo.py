@@ -22,14 +22,29 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..aloscene import (BoundingBoxes2D, BoundingBoxes3D, CameraIntrinsic,
-                        Frame, Labels)
+from ..aloscene import (BoundingBoxes2D, BoundingBoxes3D, CameraExtrinsic,
+                        CameraIntrinsic, Frame, Labels)
 from ..aloscene.spatial import _cat_batched
 from .base_dataset import BaseDataset, Split
 from .mixins import SequenceMixin, SplitMixin
 
 CAMERAS = ("front", "front_left", "front_right", "side_left", "side_right")
 CLASSES = ("vehicle", "pedestrian", "sign", "cyclist")
+
+# waymo axes (X fwd, Y left, Z up) -> aloception axes (X right, Y down,
+# Z fwd) — reference waymo_dataset.py:15
+_WAYMO2ALO = np.array([[0.0, -1.0, 0.0, 0.0], [0.0, 0.0, -1.0, 0.0],
+                       [1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]])
+
+
+def _waymo_to_alo_boxes3d(b: np.ndarray) -> np.ndarray:
+    """[cx,cy,cz,length,width,height,heading] waymo vehicle coords ->
+    [xc,yc,zc,Dx,Dy,Dz,heading] aloception coords (reference
+    waymo_dataset.py:264-293 np_convert_waymo_to_aloception...)."""
+    center = b[:, :3] @ _WAYMO2ALO[:3, :3].T.astype(b.dtype)
+    dims = b[:, [4, 5, 3]]
+    heading = -b[:, 6:7]
+    return np.concatenate([center, dims, heading], -1)
 
 
 class WaymoDataset(SequenceMixin, SplitMixin, BaseDataset):
@@ -83,6 +98,7 @@ class WaymoDataset(SequenceMixin, SplitMixin, BaseDataset):
                     b, "xcyc", True, frame_size=(H, W), labels=lab))
             if "gt_boxes_3d" in self.labels and "boxes3d" in meta:
                 b3 = np.asarray(meta["boxes3d"], np.float32).reshape(-1, 7)
+                b3 = _waymo_to_alo_boxes3d(b3)
                 frame.append_boxes3d(BoundingBoxes3D(
                     b3, labels=Labels(
                         np.asarray(meta.get("classes3d", [0] * len(b3)),
@@ -90,6 +106,15 @@ class WaymoDataset(SequenceMixin, SplitMixin, BaseDataset):
             if "intrinsic" in meta:
                 frame.append_cam_intrinsic(CameraIntrinsic(
                     np.asarray(meta["intrinsic"], np.float32).reshape(3, 4)))
+            if "extrinsic" in meta:
+                # meta holds the raw WAYMO camera->vehicle 4x4; convert to
+                # the aloception axes vehicle->camera transform exactly as
+                # the reference does (waymo_dataset.py:249-256:
+                # inv(E) then waymo2alo @ . @ inv(waymo2alo))
+                E = np.asarray(meta["extrinsic"], np.float64).reshape(4, 4)
+                ext = _WAYMO2ALO @ np.linalg.inv(E) @ np.linalg.inv(_WAYMO2ALO)
+                frame.append_cam_extrinsic(
+                    CameraExtrinsic(ext.astype(np.float32)))
         return frame
 
     def _getitem_sample(self, idx: int) -> Dict[str, Frame]:

@@ -141,11 +141,31 @@ class BoundingBoxes3D(AugmentedArray):
         return self.__get_view__(frame=frame, **kwargs)
 
     def _hflip(self, cam_extrinsic=None, **kw):
-        """Mirror across the camera x axis (bounding_boxes_3d.py:219)."""
+        """Mirror across the camera x axis (bounding_boxes_3d.py:219).
+
+        With ``cam_extrinsic`` (vehicle->camera 4x4) the flip happens in the
+        CAMERA frame: centers go through E, x is negated, then back through
+        inv(E); headings become -h - 2*rot_y(E) (the reference's
+        boxes_3d_hflip semantics)."""
         arr = np.array(self.as_numpy())
-        arr[..., 0] = -arr[..., 0]
-        arr[..., 6] = -arr[..., 6]
-        return self._with_array(arr)
+        if cam_extrinsic is None or isinstance(cam_extrinsic, dict):
+            arr[..., 0] = -arr[..., 0]
+            arr[..., 6] = -arr[..., 6]
+            return self._with_array(arr)
+        E = np.asarray(cam_extrinsic.as_numpy()
+                       if hasattr(cam_extrinsic, "as_numpy")
+                       else cam_extrinsic, np.float64)
+        E = E.reshape(-1, 4, 4)[0]  # temporal extrinsics assumed consistent
+        flat = arr.reshape(-1, 7)
+        ones = np.ones((flat.shape[0], 1))
+        c = np.concatenate([flat[:, :3], ones], -1) @ E.T
+        c[:, 0] = -c[:, 0]
+        c = c @ np.linalg.inv(E).T
+        R = E[:3, :3]
+        rot_y = np.arctan2(-R[2, 0], np.hypot(R[2, 1], R[2, 2]))
+        out = np.concatenate(
+            [c[:, :3], flat[:, 3:6], -flat[:, 6:7] - 2.0 * rot_y], -1)
+        return self._with_array(out.reshape(arr.shape).astype(arr.dtype))
 
     # 3D boxes are invariant under image resize/crop/pad
     def _resize(self, size01, **kw): return self.clone()

@@ -30,11 +30,22 @@ def _encode_label(box: bytes, typ: int, lid: str):
             + wc.field_bytes(4, lid.encode()))
 
 
+# camera->vehicle 4x4 (waymo axes): yaw 0.3 about z + translation
+_YAW = 0.3
+_EXTRINSIC = np.array(
+    [[np.cos(_YAW), -np.sin(_YAW), 0.0, 1.5],
+     [np.sin(_YAW), np.cos(_YAW), 0.0, 0.2],
+     [0.0, 0.0, 1.0, 2.0],
+     [0.0, 0.0, 0.0, 1.0]])
+
+
 def _encode_frame(frame_idx: int):
     ctx = wc.field_bytes(1, b"segment-test")
     calib = (wc.field_varint(1, 1)
              + wc.packed_doubles(2, [100.0, 110.0, 24.0, 16.0,
                                      0, 0, 0, 0, 0])
+             + wc.field_bytes(3, wc.packed_doubles(
+                 1, list(_EXTRINSIC.ravel())))
              + wc.field_varint(4, 48) + wc.field_varint(5, 32))
     ctx += wc.field_bytes(2, calib)
     img = wc.field_varint(1, 1) + wc.field_bytes(2, _jpeg_bytes(frame_idx))
@@ -88,3 +99,58 @@ def test_waymo_prepare_roundtrip(tmp_path):
     assert frame.HW == (32, 48)
     boxes = frame.get_child("boxes2d")
     assert boxes is not None
+
+    # extrinsic roundtrip: meta stores the raw waymo camera->vehicle 4x4
+    assert np.allclose(np.asarray(meta["extrinsic"]), _EXTRINSIC)
+    # ...and the reader attaches the alo-axes vehicle->camera transform
+    # (waymo_dataset.py:249-256: inv(E) conjugated by waymo2alo)
+    from aloception_tpu.alodataset.waymo import _WAYMO2ALO
+    ext = frame.get_child("cam_extrinsic")
+    assert ext is not None
+    got = np.asarray(ext.as_numpy()).reshape(-1, 4, 4)[0]
+    want = _WAYMO2ALO @ np.linalg.inv(_EXTRINSIC) @ np.linalg.inv(_WAYMO2ALO)
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_boxes3d_hflip_with_extrinsic_roundtrip(tmp_path):
+    """Frame.hflip passes the attached cam_extrinsic into boxes3d._hflip
+    (reference boxes_3d_hflip, bounding_boxes_3d.py:219): centers flip in
+    the CAMERA frame, headings become -h - 2*rot_y. Double flip must be the
+    identity, and with E=I the flip must reduce to plain x/heading negation."""
+    from aloception_tpu.aloscene import (BoundingBoxes3D, CameraExtrinsic,
+                                         Frame)
+
+    rng = np.random.RandomState(0)
+    b3 = np.concatenate(
+        [rng.uniform(-5, 5, (4, 3)), rng.uniform(1, 3, (4, 3)),
+         rng.uniform(-1, 1, (4, 1))], -1).astype(np.float32)
+    th = 0.4
+    E = np.array([[np.cos(th), 0, np.sin(th), 0.5],
+                  [0, 1, 0, -0.1],
+                  [-np.sin(th), 0, np.cos(th), 1.0],
+                  [0, 0, 0, 1]], np.float32)
+
+    frame = Frame(rng.uniform(0, 1, (3, 16, 24)).astype(np.float32))
+    frame.append_boxes3d(BoundingBoxes3D(b3.copy()))
+    frame.append_cam_extrinsic(CameraExtrinsic(E))
+
+    once = frame.hflip()
+    flipped = np.asarray(once.get_child("boxes3d").as_numpy())
+    # heading: -h - 2*rot_y where rot_y(E) = th
+    assert np.allclose(flipped[:, 6], -b3[:, 6] - 2 * th, atol=1e-4)
+    # centers move: camera-frame x negation conjugated by E
+    ones = np.ones((4, 1), np.float32)
+    cam = np.concatenate([b3[:, :3], ones], -1) @ E.T
+    cam[:, 0] = -cam[:, 0]
+    back = cam @ np.linalg.inv(E).T
+    assert np.allclose(flipped[:, :3], back[:, :3], atol=1e-4)
+    # involution: flipping twice restores the original boxes
+    twice = np.asarray(once.hflip().get_child("boxes3d").as_numpy())
+    assert np.allclose(twice, b3, atol=1e-4)
+
+    # no extrinsic -> plain camera-frame negation
+    f2 = Frame(rng.uniform(0, 1, (3, 16, 24)).astype(np.float32))
+    f2.append_boxes3d(BoundingBoxes3D(b3.copy()))
+    plain = np.asarray(f2.hflip().get_child("boxes3d").as_numpy())
+    assert np.allclose(plain[:, 0], -b3[:, 0])
+    assert np.allclose(plain[:, 6], -b3[:, 6])
