@@ -361,6 +361,11 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
             out_specs=pl.BlockSpec((1, Tq, nH * C), lambda b, t: (b, t, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, Lq_p, nH * C), value.dtype),
+            # the all-heads value block + per-level one-hot planes exceed
+            # the 16 MB default scoped-VMEM cap at production dims (63.6M
+            # measured, round-4 session); same raised limit as the bwd kernel
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(value_h, idx_hl, cw_hl)
         return out[:, :Lq]
