@@ -224,22 +224,6 @@ def ms_deform_attn_block(value, value_spatial_shapes, sampling_locations,
 import functools
 
 
-# Kernel layout knob (overridable via ALO_MSDA_LAYOUT for A/B runs):
-# "bh" = per-(batch, head) grid with the transposed construction;
-# "hl" = heads-in-lanes — all heads in one block, (head, corner) packed on
-# the lane axis (nH*4P = 128 exactly at production config) so every
-# one-hot compare-select runs at full lane utilization.
-# Module attribute PALLAS_LAYOUT (or the env var, read at TRACE time so
-# setting it after import still works) selects the layout.
-import os
-
-PALLAS_LAYOUT: "str | None" = None  # None -> read ALO_MSDA_LAYOUT / "bh"
-
-
-def _layout() -> str:
-    return PALLAS_LAYOUT or os.environ.get("ALO_MSDA_LAYOUT", "bh")
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _msda_pallas(shapes, value, loc, w):
     import jax as _jax
@@ -247,44 +231,22 @@ def _msda_pallas(shapes, value, loc, w):
     interpret = _jax.default_backend() == "cpu"
     # Tq=64 keeps the per-program coeff/iota planes under the 16M VMEM cap
     # at encoder-scale levels (128 OOMs at level0 HW=6400)
-    return ms_deform_attn_pallas(value, shapes, loc, w, 64, interpret,
-                                 layout=_layout())
+    return ms_deform_attn_pallas(value, shapes, loc, w, 64, interpret)
 
 
 def _msda_pallas_fwd(shapes, value, loc, w):
     return _msda_pallas(shapes, value, loc, w), (value, loc, w)
 
 
-# Backward knob: "block" (default) = autodiff of the block formulation;
-# "pallas" = the dedicated bwd kernel (ms_deform_attn_pallas_bwd) — held
-# behind the flag until the hardware parity gate (tpu_parity_msda.py,
-# which checks BOTH) proves the fused-epilogue miscompile workaround holds
-# at production dims on the target backend. Read at TRACE time (env var or
-# the module attribute) so setting it after import still takes effect.
-PALLAS_BWD: "str | None" = None  # None -> read ALO_MSDA_BWD / "block"
-
-
-def _bwd_impl() -> str:
-    return PALLAS_BWD or os.environ.get("ALO_MSDA_BWD", "block")
-
-
 def _msda_pallas_bwd(shapes, res, g):
-    if _bwd_impl() == "pallas":
-        import jax as _jax
-        from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas_bwd
-        value, loc, w = res
-        return ms_deform_attn_pallas_bwd(
-            value, shapes, loc, w, g,
-            interpret=_jax.default_backend() == "cpu")
     # Backward = autodiff of the block formulation, verified EXACT on the
-    # real TPU vs a CPU oracle (maxdiff ~1e-5 at B=2 nH=8 Lq=300, 4 levels).
-    # The dedicated Pallas backward kernel (pallas/ms_deform_attn_kernel.py
-    # ms_deform_attn_pallas_bwd) is itself correct in-kernel on TPU, but the
-    # tunneled backend miscompiles the fused XLA epilogue around it (the
-    # chain rule CSE'd with the prep reads wrong level slices) and fixing it
-    # with optimization_barrier trips a 16 MB scoped-VMEM compile OOM — so
-    # the kernel stays parity-tested (interpret mode) but is not the
-    # default. Reference fwd/bwd CUDA pair: ms_deform_attn_cuda.cu:81.
+    # real TPU vs a CPU oracle (grad rel ~2e-7 at B=2 nH=8 Lq=300, 4
+    # levels, round-4 gate). A dedicated Pallas backward kernel was tried
+    # across rounds 2-4 and DELETED in round 4: the tunneled backend
+    # miscompiled its fused XLA epilogue in round 2, and in the round-4
+    # hardware gate the kernel itself failed parity outright (rel 1.2-5.3
+    # vs this path's 2e-7) — see DEVELOPMENT.md round-4 negative results.
+    # Reference fwd/bwd CUDA pair: ms_deform_attn_cuda.cu:81.
     value, loc, w = res
     _, vjp = jax.vjp(
         lambda v, l, a: ms_deform_attn_block(v, shapes, l, a), value, loc, w)

@@ -178,66 +178,6 @@ def _kernel(value_ref, idx_ref, cw_ref, out_ref, *, shapes, starts, P):
     out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
 
 
-def _kernel_hl(value_ref, idx_ref, cw_ref, out_ref, *, shapes, P, nH, C,
-               bf16_cmp=False):
-    """HEADS-IN-LANES forward variant. Grid: (B, Lq // Tq) — one block
-    covers ALL heads.
-
-    value_ref: (1, nH, Len_p, C); idx/cw: (1, L, Tq, nH*4P);
-    out_ref: (1, Tq, nH*C).
-
-    Rationale (scripts/exp_msda5.py): the per-(b,h) layout's select passes
-    use only 4P*L = 48 of 128 lanes per vreg row (62% waste). Packing
-    (head, corner) on the lane axis makes nH*4P = 128 lanes EXACTLY for the
-    production config (nH=8, P=4), so every one-hot compare-select runs at
-    full lane utilization — ONE pass builds all heads' one-hots. The coeff
-    dot then slices 4P lanes per head (static python unroll)."""
-    Tq = idx_ref.shape[2]
-    L = len(shapes)
-    mm = value_ref.dtype if value_ref.dtype == jnp.bfloat16 else jnp.float32
-    prec = jax.lax.Precision.HIGHEST if mm == jnp.float32 else None
-
-    # LEVEL-OUTER accumulation: build each level's factored one-hot (all
-    # heads at once, full 128 lanes), contract it per head against that
-    # level's value rows, and let the planes die before the next level —
-    # keeping every level's LbT (Tq, 128, 128) alive simultaneously costs
-    # ~16 MB f32 at production shapes, over the scoped-VMEM cap.
-    accs = [jnp.zeros((Tq, C), jnp.float32) for _ in range(nH)]
-    start = 0
-    for lvl in range(L):
-        HW = shapes[lvl][0] * shapes[lvl][1]
-        M = _pad_hw(HW) // _LANE
-        idx_l = idx_ref[0, lvl]                        # (Tq, nH*4P)
-        cw_l = cw_ref[0, lvl]
-        hi = idx_l // _LANE
-        lo = idx_l - hi * _LANE
-        nJh = idx_l.shape[1]
-        # bf16 compares ("hlb"): hi < M <= 67 and lo < 128 are exact in
-        # bfloat16, and bf16 vregs pack 2x the elements per compare pass;
-        # the select OUTPUT stays f32 (cw_l is untouched) so no precision
-        # is lost — only the iota/operand layout changes.
-        cmp_t = jnp.bfloat16 if bf16_cmp else jnp.int32
-        hi_c, lo_c = hi.astype(cmp_t), lo.astype(cmp_t)
-        iota_m = jax.lax.broadcasted_iota(cmp_t, (Tq, M, nJh), 1)
-        iota_l = jax.lax.broadcasted_iota(cmp_t, (Tq, _LANE, nJh), 1)
-        HaT = jnp.where(iota_m == hi_c[:, None, :], cw_l[:, None, :], 0.0)
-        LbT = jnp.where(iota_l == lo_c[:, None, :], 1.0, 0.0)
-        for h in range(nH):
-            sl = slice(h * 4 * P, (h + 1) * 4 * P)
-            c = jax.lax.dot_general(
-                HaT[:, :, sl].astype(mm), LbT[:, :, sl].astype(mm),
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=prec)                        # (Tq, M, 128)
-            accs[h] = accs[h] + jax.lax.dot(
-                c.reshape(Tq, M * _LANE).astype(mm),
-                value_ref[0, h, start:start + M * _LANE, :].astype(mm),
-                preferred_element_type=jnp.float32, precision=prec)
-        start += M * _LANE
-    for h in range(nH):
-        out_ref[0, :, h * C:(h + 1) * C] = accs[h].astype(out_ref.dtype)
-
-
 def _pad_q(loc, w, Lq, Tq):
     pad_q = (-Lq) % Tq
     if pad_q:
@@ -301,18 +241,20 @@ def _corner_indices_weights(shapes, loc, w):
     return idx, cw
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 4, 5))
 def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
                           attention_weights, tile_q: int = 64,
-                          interpret: bool = False, layout: str = "bh"):
+                          interpret: bool = False):
     """Shapes as in ops/ms_deform_attn.py:
     value (B, Len_v, nH, C); sampling_locations (B, Lq, nH, L, P, 2) in
     [0,1]; attention_weights (B, Lq, nH, L, P). Returns (B, Lq, nH * C).
 
-    layout: "bh" = per-(batch, head) grid (the shipped transposed
-    construction); "hl" = heads-in-lanes (_kernel_hl) — all heads in one
-    block with (head, corner) packed on the lane axis; "hlb" = hl with
-    bf16 compare operands (exact: hi/lo < 128; select outputs stay f32).
+    Layout: per-(batch, head) grid with the transposed construction (the
+    round-3 measured winner). Heads-in-lanes variants (hl/hlb) were tried
+    in rounds 3-4 and deleted: hl crashed the backend compiler at
+    production dims (63.6M scoped VMEM, then tpu_compile_helper exit 1 at
+    a raised limit) and hlb's bf16 iota does not lower on this Mosaic
+    version — DEVELOPMENT.md round-4 negative results.
     """
     B, Len_v, nH, C = value.shape
     Lq = sampling_locations.shape[1]
@@ -339,37 +281,6 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
     if not interpret:
         value_h, idx, cw = jax.lax.optimization_barrier((value_h, idx, cw))
 
-    if layout in ("hl", "hlb"):
-        # (B, nH, L, Lq_p, 4P) -> (B, L, Lq_p, nH*4P)
-        idx_hl = idx.transpose(0, 2, 3, 1, 4).reshape(B, L, Lq_p, nH * 4 * P)
-        cw_hl = cw.transpose(0, 2, 3, 1, 4).reshape(B, L, Lq_p, nH * 4 * P)
-        kernel = functools.partial(_kernel_hl, shapes=shapes, P=P, nH=nH,
-                                   C=C, bf16_cmp=layout == "hlb")
-        out = pl.pallas_call(
-            kernel,
-            grid=(B, Lq_p // Tq),
-            in_specs=[
-                pl.BlockSpec((1, nH, Len_p, C), lambda b, t: (b, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, L, Tq, nH * 4 * P),
-                             lambda b, t: (b, 0, t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, L, Tq, nH * 4 * P),
-                             lambda b, t: (b, 0, t, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, Tq, nH * C), lambda b, t: (b, t, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, Lq_p, nH * C), value.dtype),
-            # the all-heads value block + per-level one-hot planes exceed
-            # the 16 MB default scoped-VMEM cap at production dims (63.6M
-            # measured, round-4 session); same raised limit as the bwd kernel
-            compiler_params=None if interpret else pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(value_h, idx_hl, cw_hl)
-        return out[:, :Lq]
-
     kernel = functools.partial(_kernel, shapes=shapes, starts=starts, P=P)
     out = pl.pallas_call(
         kernel,
@@ -392,177 +303,3 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
 
     out = out.transpose(0, 2, 1, 3).reshape(B, Lq_p, nH * C)
     return out[:, :Lq]
-
-
-def _bwd_kernel(value_ref, idx_ref, cw_ref, g_ref, dval_ref, dcw_ref, *,
-                shapes, starts, P):
-    """Backward pass, same factored one-hot structure as the forward.
-
-    Per (b, h) and query tile t (innermost SEQUENTIAL grid dim):
-      dvalue[hw, c] += coeff(t)^T @ g(t)      accumulated across tiles
-      dcw[t, j]      = sum_hw 1[idx_j == hw] * (g(t) @ value^T)[q, hw]
-    The dcw pick also uses the digit factorization: contract the high
-    one-hot against S reshaped (Tq, M, 128) on the MXU, then the low
-    one-hot picks lanes (elementwise + lane reduce — VPU, but only
-    Tq*4P*128 of it instead of Tq*4P*HW).
-    """
-    t = pl.program_id(2)
-
-    @pl.when(t == 0)
-    def _init():
-        dval_ref[0, 0, :, :] = jnp.zeros_like(dval_ref[0, 0, :, :])
-
-    Tq = idx_ref.shape[3]
-    g = g_ref[0, 0, :, :].astype(jnp.float32)          # (Tq, C)
-
-    for lvl, (H_l, W_l) in enumerate(shapes):
-        HW = H_l * W_l
-        HWp = _pad_hw(HW)
-        sl = slice(starts[lvl], starts[lvl] + HWp)
-        v_l = value_ref[0, 0, sl, :]                   # (HWp, C)
-        tile_idx = idx_ref[0, 0, lvl]                  # (Tq, 4P)
-        tile_cw = cw_ref[0, 0, lvl]
-
-        coeff = _coeff_plane(tile_idx, tile_cw, HW, P, Tq, jnp.float32)
-        dval_ref[0, 0, sl, :] = (
-            dval_ref[0, 0, sl, :]
-            + jax.lax.dot(coeff.T, g,
-                          preferred_element_type=jnp.float32
-                          ).astype(dval_ref.dtype))
-
-        # S[q, hw] = sum_c g[q, c] * v[hw, c]
-        S = jax.lax.dot(g, v_l.astype(jnp.float32).T,
-                        preferred_element_type=jnp.float32)  # (Tq, HWp)
-        if HW <= _DENSE_MAX:
-            iota = jax.lax.broadcasted_iota(jnp.int32, (Tq, HWp), 1)
-            for j in range(4 * P):
-                picked = jnp.where(iota == tile_idx[:, j:j + 1], S, 0.0)
-                dcw_ref[0, 0, lvl, :, j:j + 1] = jnp.sum(picked, axis=1,
-                                                         keepdims=True)
-        else:
-            M = HWp // _LANE
-            hi = tile_idx // _LANE
-            lo = tile_idx - hi * _LANE
-            iota_m = jax.lax.broadcasted_iota(jnp.int32, (Tq, 4 * P, M), 2)
-            iota_l = jax.lax.broadcasted_iota(jnp.int32, (Tq, 4 * P, _LANE), 2)
-            Ha1 = jnp.where(iota_m == hi[:, :, None], 1.0, 0.0)
-            Lb1 = jnp.where(iota_l == lo[:, :, None], 1.0, 0.0)
-            # T[q,j,l] = sum_m Ha1[q,j,m] * S[q,m,l]
-            T = jax.lax.dot_general(
-                Ha1, S.reshape(Tq, M, _LANE),
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)     # (Tq, 4P, 128)
-            dcw_ref[0, 0, lvl, :, :] = jnp.sum(T * Lb1, axis=2)
-
-
-@functools.partial(jax.jit, static_argnums=(1, 5, 6))
-def ms_deform_attn_pallas_bwd(value, value_spatial_shapes,
-                              sampling_locations, attention_weights, g,
-                              tile_q: int = 64, interpret: bool = False):
-    """VJP of ms_deform_attn_pallas: g (B, Lq, nH * C) ->
-    (dvalue, dsampling_locations, dattention_weights).
-
-    The kernel produces dvalue and the gradient wrt the COMBINED corner
-    weights (bilinear x attention); the chain rule back to locations and
-    attention weights is elementwise XLA (exactly the autodiff of the
-    forward prep: floor() contributes zero, d wx / d loc_x = W_l)."""
-    B, Len_v, nH, C = value.shape
-    Lq = sampling_locations.shape[1]
-    L = len(value_spatial_shapes)
-    P = sampling_locations.shape[4]
-    shapes = tuple((int(h), int(w)) for h, w in value_spatial_shapes)
-    starts = _level_starts(shapes)
-
-    Tq = min(tile_q, Lq)
-    loc, w, Lq_p = _pad_q(sampling_locations, attention_weights, Lq, Tq)
-    idx, cw = _corner_indices_weights(shapes, loc, w)
-
-    g = g.reshape(B, Lq, nH, C)
-    if Lq_p != Lq:
-        g = jnp.pad(g, ((0, 0), (0, Lq_p - Lq), (0, 0), (0, 0)))
-    g_h = g.transpose(0, 2, 1, 3)                      # (B, nH, Lq_p, C)
-    value_h = _pad_value_levels(value.transpose(0, 2, 1, 3), shapes)
-    Len_p = value_h.shape[2]
-
-    kernel = functools.partial(_bwd_kernel, shapes=shapes, starts=starts,
-                               P=P)
-    dval_h, dcw = pl.pallas_call(
-        kernel,
-        grid=(B, nH, Lq_p // Tq),
-        in_specs=[
-            pl.BlockSpec((1, 1, Len_p, C), lambda b, h, t: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L, Tq, 4 * P),
-                         lambda b, h, t: (b, h, 0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L, Tq, 4 * P),
-                         lambda b, h, t: (b, h, 0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tq, C), lambda b, h, t: (b, h, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, Len_p, C), lambda b, h, t: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L, Tq, 4 * P),
-                         lambda b, h, t: (b, h, 0, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, nH, Len_p, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, nH, L, Lq_p, 4 * P), jnp.float32),
-        ],
-        # the round-2 blocker was a 16 MB scoped-VMEM compile OOM; the
-        # raised limit (same knob the round-3 experiments use) lets the
-        # accumulator + dcw epilogue fit
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(value_h, idx, cw, g_h)
-
-    # fusion barrier: without it the tunneled TPU backend miscompiles the
-    # fused epilogue — the kernel's raw outputs match interpret mode to
-    # rounding, but the composed program did not. loc/w must be barriered
-    # too: XLA CSEs the chain rule's floor/frac subexpressions with the
-    # prep's, dragging them into the same buggy pad+slice fusion.
-    dval_h, dcw, loc, w = jax.lax.optimization_barrier((dval_h, dcw, loc, w))
-
-    # un-pad the per-level value rows back to the packed Len_v layout
-    dval_segs = []
-    for lvl, (h_l, w_l) in enumerate(shapes):
-        HW = h_l * w_l
-        dval_segs.append(dval_h[:, :, starts[lvl]:starts[lvl] + HW])
-    dval_h = jnp.concatenate(dval_segs, axis=2)
-    dvalue = dval_h.transpose(0, 2, 1, 3).astype(value.dtype)
-
-    # chain rule: dcw (B, nH, L, Lq_p, 4P, corner-major) -> dloc, dw.
-    # Fully vectorized over the L axis — NO per-level slicing: the tunneled
-    # TPU backend miscompiles fused pad+slice patterns like w[:, :, :, lvl]
-    # (see _corner_indices_weights), so levels are handled via broadcast
-    # against (L,)-shaped H/W vectors instead.
-    dcw = dcw.transpose(0, 3, 1, 2, 4)                 # (B, Lq_p, nH, L, 4P)
-    Ws = jnp.asarray([float(w_l) for _, w_l in shapes], jnp.float32)
-    Hs = jnp.asarray([float(h_l) for h_l, _ in shapes], jnp.float32)
-    Wb = Ws[None, None, None, :, None]                 # -> (B,Lq_p,nH,L,P)
-    Hb = Hs[None, None, None, :, None]
-    x = loc[..., 0] * Wb - 0.5                         # (B, Lq_p, nH, L, P)
-    y = loc[..., 1] * Hb - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-    dloc_x = jnp.zeros_like(wx)
-    dloc_y = jnp.zeros_like(wx)
-    dw = jnp.zeros_like(wx)
-    for c, (dy_c, dx_c, bilin, dbdx, dbdy) in enumerate(_CORNERS):
-        valid = ((x0 + dx_c >= 0) & (x0 + dx_c < Wb)
-                 & (y0 + dy_c >= 0) & (y0 + dy_c < Hb))
-        dcw_c = jnp.where(valid, dcw[..., c * P:(c + 1) * P], 0.0)
-        dw = dw + dcw_c * bilin(wx, wy)
-        dloc_x = dloc_x + dcw_c * w * dbdx(wx, wy)
-        dloc_y = dloc_y + dcw_c * w * dbdy(wx, wy)
-
-    dloc = jnp.stack([dloc_x * Wb, dloc_y * Hb], axis=-1)[:, :Lq]
-    dw = dw[:, :Lq]
-    return (dvalue, dloc.astype(sampling_locations.dtype),
-            dw.astype(attention_weights.dtype))

@@ -225,6 +225,7 @@ def _parity_gate() -> bool:
     import sys
     here = os.path.dirname(os.path.abspath(__file__))
     ok = True
+    residuals = {}
     for script in ("tpu_parity_msda.py", "tpu_parity_models.py"):
         path = os.path.join(here, "scripts", script)
         print(f"[bench] parity gate: {script} ...", file=sys.stderr,
@@ -235,9 +236,17 @@ def _parity_gate() -> bool:
         except subprocess.TimeoutExpired as e:
             sys.stderr.write(f"[bench] {script} TIMED OUT: {e}\n")
             ok = False
+            residuals[script] = "TIMEOUT"
             continue
         sys.stderr.write(r.stdout[-2000:] + r.stderr[-500:])
         ok &= r.returncode == 0
+        # keep the residual lines for the BENCH record: a green number must
+        # carry the parity evidence it was gated on
+        residuals[script] = [
+            ln for ln in r.stdout.splitlines()
+            if ("vs CPU-lax" in ln or "grad " in ln or "parity" in ln
+                or "maxdiff" in ln) and "INFO" not in ln][-14:]
+    _parity_gate.residuals = residuals
     return ok
 
 
@@ -352,6 +361,8 @@ def main():
         return
 
     extra = {}
+    if getattr(_parity_gate, "residuals", None):
+        extra["parity_gate"] = _parity_gate.residuals
     headline = bench_detr(args)
     for name in ("raft", "deformable", "train", "loader"):
         try:

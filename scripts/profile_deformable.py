@@ -62,8 +62,24 @@ def main():
         return jax.jit(lambda x: x + m.apply(params, x, mask)[
             "pred_logits"].mean().astype(x.dtype) * 1e-9)
 
+    # backbone-only floor: the layer-count deltas below bound the encoder/
+    # decoder; this pins the remainder (R50 + multi-scale projections)
+    from aloception_tpu.models.backbone.resnet import Backbone
+
+    def build_backbone():
+        bb = Backbone(return_layers=("layer2", "layer3", "layer4"),
+                      dtype=jnp.bfloat16)
+        params = bb.init(jax.random.PRNGKey(0), images[:1], mask[:1])
+        return jax.jit(lambda x: x + bb.apply(params, x, mask)[-1][0]
+                       .mean().astype(x.dtype) * 1e-9)
+
+    try:
+        timed(build_backbone(), images, label="backbone-only (C3-C5)")
+    except Exception as e:
+        print(f"backbone-only FAILED: {type(e).__name__}: {e}", flush=True)
+
     for enc, dec, impl in ((6, 6, "pallas"), (3, 6, "pallas"), (6, 3, "pallas"),
-                           (6, 6, "block"), (1, 1, "pallas")):
+                           (6, 6, "block"), (1, 1, "pallas"), (0, 1, "pallas")):
         try:
             timed(build(enc, dec, impl), images,
                   label=f"enc={enc} dec={dec} impl={impl}")

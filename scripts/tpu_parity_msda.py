@@ -46,37 +46,6 @@ def run(verbose: bool = True) -> bool:
             print(f'{impl:7s} TPU vs CPU-lax: {d:.6f}'
                   f'{"" if d <= FWD_TOL else "  <-- FAIL"}', flush=True)
 
-    # all kernel layouts explicitly (the default above follows
-    # ALO_MSDA_LAYOUT; a layout flip must never skip hardware parity).
-    # Only the SHIPPED layout is fatal: an experimental layout that fails
-    # to compile must not abort the whole measurement session (round-4
-    # lesson: hl scoped-VMEM OOM killed the gate and everything behind it).
-    import os as _os
-    from aloception_tpu.ops.pallas.ms_deform_attn_kernel import (
-        ms_deform_attn_pallas)
-    shipped = _os.environ.get('ALO_MSDA_LAYOUT', 'bh')
-    for layout in ('bh', 'hl', 'hlb'):
-        fatal = layout == shipped
-        try:
-            o = np.asarray(ms_deform_attn_pallas(
-                jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
-                64, False, layout=layout))
-            d = np.abs(o - ref).max()
-            bad = bool(d > FWD_TOL)
-            if fatal:
-                ok &= not bad
-            if verbose:
-                print(f'pallas[{layout}] TPU vs CPU-lax: {d:.6f}'
-                      f'{"  <-- FAIL" if bad else ""}'
-                      f'{"" if fatal else " (informational)"}', flush=True)
-        except Exception as e:
-            if fatal:
-                ok = False
-            if verbose:
-                print(f'pallas[{layout}] EXCEPTION {type(e).__name__}: '
-                      f'{str(e)[:200]}'
-                      f'{"" if fatal else " (informational)"}', flush=True)
-
     # gradient parity too (pallas custom VJP on TPU vs CPU lax autodiff)
     def loss(fn, v, l, a):
         return jnp.sum(fn(v, shapes, l, a) ** 2)
@@ -100,37 +69,6 @@ def run(verbose: bool = True) -> bool:
                   f'{"" if rel <= GRAD_REL_TOL else "  <-- FAIL"}',
                   flush=True)
 
-    # the dedicated Pallas backward kernel, on hardware, at the same dims
-    # (informational unless ALO_MSDA_BWD=pallas ships it): the round-2
-    # fused-epilogue miscompile made it non-default — this measures
-    # whether the barrier + raised-VMEM workaround holds on this backend.
-    try:
-        from aloception_tpu.ops.pallas.ms_deform_attn_kernel import (
-            ms_deform_attn_pallas, ms_deform_attn_pallas_bwd)
-        # d/dx sum(f^2) = vjp with cotangent 2*f — same loss as g_ref above
-        g_out = 2.0 * ms_deform_attn_pallas(
-            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
-        g_ded = ms_deform_attn_pallas_bwd(
-            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
-            g_out)
-        import os as _os
-        bwd_ships = _os.environ.get('ALO_MSDA_BWD') == 'pallas'
-        for name, a, b in zip(('dvalue', 'dloc', 'dw'), g_ded, g_ref):
-            a, b = np.asarray(a), np.asarray(b)
-            scale = max(np.abs(b).max(), 1e-6)
-            rel = np.abs(a - b).max() / scale
-            bad = rel > GRAD_REL_TOL
-            if bwd_ships:
-                ok &= not bad
-            if verbose:
-                print(f'bwd-kernel {name}: rel {rel:.2e}'
-                      f'{"  <-- FAIL" if bad else ""}'
-                      f'{"" if bwd_ships else " (informational)"}',
-                      flush=True)
-    except Exception as e:
-        if verbose:
-            print(f'bwd-kernel: EXCEPTION {type(e).__name__}: {e} '
-                  f'(informational)', flush=True)
     if verbose:
         print(f'MSDA parity: {"OK" if ok else "FAIL"}', flush=True)
     return ok

@@ -137,6 +137,74 @@ def test_panoptic_train_step_learns():
     assert jax.tree.reduce(max, deltas) == 0.0
 
 
+@pytest.mark.slow
+def test_panoptic_overfit_reaches_positive_pq():
+    """VERDICT r3 #9: the last model family without an end-to-end learning
+    proof through the METRIC path. Train an UNFROZEN tiny DetrPanoptic on a
+    fixed 2-object scene, then run the real inference_with_masks ->
+    PQMetrics pipeline (instance-level matching, panopticapi void rule) and
+    require PQ > 0 — i.e. at least one class-correct mask TP at IoU>0.5.
+    Reference criterion semantics: alonet/detr_panoptic/criterion.py:78."""
+    from aloception_tpu.aloscene import Labels, Mask
+    from aloception_tpu.metrics.pq_metrics import PQMetrics
+    from aloception_tpu.train.state import make_train_state, make_optimizer
+
+    H, W = 64, 64
+    img = np.full((1, H, W, 3), 0.4, np.float32)
+    img[0, 8:24, 4:28] = [0.9, 0.1, 0.1]
+    img[0, 40:60, 36:60] = [0.1, 0.2, 0.9]
+    masks = np.zeros((1, 2, H, W), np.float32)
+    masks[0, 0, 8:24, 4:28] = 1
+    masks[0, 1, 40:60, 36:60] = 1
+    targets = {
+        "boxes": jnp.asarray([[[16 / W, 16 / H, 24 / W, 16 / H],
+                               [48 / W, 50 / H, 24 / W, 20 / H]]],
+                             jnp.float32),
+        "labels": jnp.asarray([[0, 2]], jnp.int32),
+        "valid": jnp.asarray([[True, True]]),
+        "masks": jnp.asarray(masks),
+    }
+    detector = Detr(num_classes=4, hidden_dim=32, num_queries=8, nheads=4,
+                    num_encoder_layers=1, num_decoder_layers=1,
+                    dim_feedforward=64, stage_sizes=(1, 1, 1, 1),
+                    return_intermediate=True, dropout=0.0)
+    model = DetrPanoptic(detector=detector, freeze_detector=False)
+    images = jnp.asarray(img)
+    params = model.init(jax.random.PRNGKey(0), images)
+    tx = make_optimizer(lr=3e-3, lr_backbone=3e-3, weight_decay=1e-4,
+                        grad_clip=0.1)
+    state = make_train_state(model, params, tx=tx)
+
+    @jax.jit
+    def step(state):
+        def loss_fn(p):
+            out = model.apply(p, images)
+            loss, metrics = panoptic_criterion(out, targets)
+            return loss, metrics
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads=grads), metrics
+
+    state, m0 = step(state)
+    for _ in range(250):
+        state, m = step(state)
+    mask0 = float(m0["loss_DICE"]) + float(m0["loss_focal"])
+    mask1 = float(m["loss_DICE"]) + float(m["loss_focal"])
+    assert mask1 < 0.5 * mask0, (mask0, mask1)
+
+    out = model.apply(state.params, images)
+    res = inference_with_masks(out, threshold=0.2, background_class=4,
+                               activation_fn="softmax", frame_size=(H, W))
+    pred_boxes, pred_masks = res[0]
+    t_mask = Mask(masks[0], labels=Labels(
+        np.array([0.0, 2.0], np.float32),
+        labels_names=["a", "b", "c", "d"]))
+    pq = PQMetrics()
+    pq.add_sample(pred_masks, t_mask)
+    result = pq.pq_average()
+    assert result["pq"] > 0.0, result
+
+
 def test_inference_with_masks(detr_panoptic):
     from aloception_tpu.aloscene import BoundingBoxes2D, Mask
     detector, head, dparams, hparams = detr_panoptic
