@@ -131,3 +131,25 @@ def test_ms_deform_attn_pallas_bwd_out_of_range_locations():
     for name, a, b in zip(("dvalue", "dloc", "dw"), g_ref, g_pal):
         scale = max(float(jnp.abs(a).max()), 1.0)
         assert float(jnp.abs(a - b).max()) / scale < 1e-5, name
+
+
+def test_ms_deform_attn_pallas_fused_prep_parity():
+    """prep='fused' (in-kernel corner math, round-4) must match both the
+    host-prep path and the lax oracle, including out-of-range locations
+    and the query-padding tail (interpret mode; hardware gate covers the
+    real lowering)."""
+    from aloception_tpu.ops.ms_deform_attn import ms_deform_attn_lax
+    from aloception_tpu.ops.pallas.ms_deform_attn_kernel import (
+        ms_deform_attn_pallas)
+    rng = np.random.RandomState(11)
+    B, nH, C, P = 2, 2, 8, 4
+    shapes = ((8, 8), (4, 4))
+    Len_v = sum(h * w for h, w in shapes)
+    Lq = 70  # > Tq: exercises padding
+    value = jnp.asarray(rng.randn(B, Len_v, nH, C), jnp.float32)
+    loc = jnp.asarray(rng.rand(B, Lq, nH, 2, P, 2) * 1.6 - 0.3, jnp.float32)
+    w = jnp.asarray(rng.rand(B, Lq, nH, 2, P), jnp.float32)
+    want = ms_deform_attn_lax(value, shapes, loc, w)
+    for prep in ("xla", "fused"):
+        got = ms_deform_attn_pallas(value, shapes, loc, w, 64, True, prep)
+        assert float(jnp.abs(got - want).max()) < 1e-5, prep
