@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_train_on_coco_fast_dev_run(capsys):
     from aloception_tpu.commands import train_on_coco
     train_on_coco.main(["--cpu", "--sample", "--tiny", "--fast_dev_run",
@@ -21,6 +22,7 @@ def test_eval_on_coco(capsys):
     assert "[eval_on_coco] AP=" in out
 
 
+@pytest.mark.slow
 def test_train_on_coco_panoptic_fast_dev_run(capsys):
     """--model panoptic wires make_panoptic_trainer end to end
     (reference alonet/detr_panoptic/train_on_coco.py)."""
@@ -67,6 +69,7 @@ def test_export_model_cli(tmp_path, capsys):
     assert "[export] wrote" in out
 
 
+@pytest.mark.slow
 def test_train_then_eval_from_checkpoint(tmp_path, capsys):
     """The documented happy path: train 2 steps, then eval FROM that run's
     checkpoint by run_id (reference: pl_helpers.py:222 load_training +
@@ -88,6 +91,7 @@ def test_train_then_eval_from_checkpoint(tmp_path, capsys):
     assert "[eval_on_coco] AP=" in out
 
 
+@pytest.mark.slow
 def test_train_on_coco_panoptic_deformable_fast_dev_run(capsys):
     """--model panoptic_deformable wires a DeformableDETR detector +
     focal base criterion/matcher into the panoptic trainer (reference
@@ -101,6 +105,7 @@ def test_train_on_coco_panoptic_deformable_fast_dev_run(capsys):
     assert "PQ[all]" in out
 
 
+@pytest.mark.slow
 def test_eval_on_coco_panoptic_deformable(capsys):
     """--model panoptic_deformable produces the PQ table (reference
     alonet/deformable_detr_panoptic/eval_on_coco.py)."""

@@ -97,6 +97,7 @@ def test_deformable_forward_shapes(tiny_deformable):
     assert b.min() >= 0 and b.max() <= 1
 
 
+@pytest.mark.slow
 def test_deformable_criterion_and_grad(tiny_deformable):
     model, params = tiny_deformable
     rng = np.random.RandomState(0)

@@ -224,6 +224,7 @@ def test_inference_with_masks(detr_panoptic):
     assert set(np.unique(arr)) <= {0.0, 1.0}
 
 
+@pytest.mark.slow
 def test_panoptic_head_composes_with_deformable():
     """The reference ships a dedicated deformable_detr_panoptic package
     (LitPanopticDeformableDetr, deformable_detr_panoptic/train.py:13);

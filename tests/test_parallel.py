@@ -8,6 +8,7 @@ params+moments over dp); XLA inserts the collectives.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -63,6 +64,7 @@ def test_partition_spec_rules():
                                 fsdp=True) == P()
 
 
+@pytest.mark.slow
 def test_sp_step_matches_replicated():
     """Sequence parallelism: the same train step on a (dp=2, sp=2, tp=2)
     mesh — encoder tokens sharded over sp via the constrain_tokens hooks —
@@ -90,6 +92,7 @@ def test_sp_step_matches_replicated():
     assert abs(loss_sp - loss_ref) < 1e-4, (loss_sp, loss_ref)
 
 
+@pytest.mark.slow
 def test_fsdp_step_matches_replicated():
     """One train step with fsdp-sharded params+moments must produce the
     same loss as the fully replicated run (XLA collectives are exact for
