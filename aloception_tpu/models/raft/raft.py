@@ -73,11 +73,6 @@ class RAFTBase(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 4
     small: bool = False
-    # "xla" (corr_volume matmul + pooled pyramid) | "pallas" (fused
-    # volume+pyramid kernel, ops/pallas/corr_kernel.py — the memory-saving
-    # analog of the reference's AlternateCorrBlock, alonet/raft/corr.py:63).
-    # Env ALO_RAFT_CORR overrides at trace time.
-    corr_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -106,16 +101,15 @@ class RAFTBase(nn.Module):
         net = jnp.tanh(c[..., :hdim]).astype(jnp.float32)
         inp = nn.relu(c[..., hdim:]).astype(jnp.float32)
 
-        import os as _os
-        corr_impl = _os.environ.get("ALO_RAFT_CORR", self.corr_impl)
-        if corr_impl == "pallas":
-            from ...ops.pallas.corr_kernel import corr_volume_pyramid_pallas
-            pyramid = corr_volume_pyramid_pallas(
-                fmap1, fmap2, num_levels=self.corr_levels,
-                interpret=jax.default_backend() == "cpu")
-        else:
-            pyramid = corr_pyramid(corr_volume(fmap1, fmap2),
-                                   num_levels=self.corr_levels)
+        # One MXU matmul builds the all-pairs volume; the pooled pyramid
+        # follows (reference alonet/raft/corr.py:18-27). A fused Pallas
+        # volume+pyramid kernel (the AlternateCorrBlock analog,
+        # corr.py:63) was hardware-timed in round 4 and DELETED: XLA wins
+        # (2.07 vs 2.85 ms f32 / 2.11 ms bf16 at Sintel 46x96 B=2) and
+        # the kernel could not tile the bench geometry (46x62 rows are
+        # not a multiple of 8). DEVELOPMENT.md round-4 negative results.
+        pyramid = corr_pyramid(corr_volume(fmap1, fmap2),
+                               num_levels=self.corr_levels)
 
         B, H8, W8, _ = fmap1.shape
         coords0 = jnp.broadcast_to(coords_grid(H8, W8)[None], (B, H8, W8, 2))

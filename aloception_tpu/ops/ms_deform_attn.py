@@ -224,18 +224,6 @@ def ms_deform_attn_block(value, value_spatial_shapes, sampling_locations,
 import functools
 
 
-# Prep knob (read at TRACE time): "xla" = host-side corner prep (shipped
-# until the fused path is hardware-validated), "fused" = corner math
-# in-kernel (round-4: the host prep dominates the encoder layer cost).
-import os
-
-PALLAS_PREP: "str | None" = None  # None -> read ALO_MSDA_PREP / "xla"
-
-
-def _prep() -> str:
-    return PALLAS_PREP or os.environ.get("ALO_MSDA_PREP", "xla")
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _msda_pallas(shapes, value, loc, w):
     import jax as _jax
@@ -243,8 +231,7 @@ def _msda_pallas(shapes, value, loc, w):
     interpret = _jax.default_backend() == "cpu"
     # Tq=64 keeps the per-program coeff/iota planes under the 16M VMEM cap
     # at encoder-scale levels (128 OOMs at level0 HW=6400)
-    return ms_deform_attn_pallas(value, shapes, loc, w, 64, interpret,
-                                 prep=_prep())
+    return ms_deform_attn_pallas(value, shapes, loc, w, 64, interpret)
 
 
 def _msda_pallas_fwd(shapes, value, loc, w):

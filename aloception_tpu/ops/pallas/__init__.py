@@ -2,13 +2,6 @@
 
 Design notes — what is (and is not) a Pallas kernel here:
 
-- **corr_volume + pyramid (RAFT)**: Pallas kernel (corr_kernel.py). The
-  all-pairs volume at Sintel scale is ~200 MB; building the 4-level pyramid
-  with separate XLA ops re-reads it from HBM three times. The fused kernel
-  computes each row-tile of the volume on the MXU and immediately emits all
-  pyramid levels from VMEM — one HBM write per level, zero re-reads. This is
-  the HBM-bandwidth case Pallas exists for.
-
 - **deformable-attention sampling**: Pallas kernel
   (ms_deform_attn_kernel.py), but NOT as a gather — Mosaic has no
   vector-gather primitive. The bilinear corner selection becomes one-hot
@@ -23,10 +16,16 @@ Design notes — what is (and is not) a Pallas kernel here:
   row, so the "plane" is tiny and batched: two 2-sparse einsums, 20x faster
   than gathers, no kernel needed.
 
+- **RAFT corr volume + pyramid**: NOT Pallas (deleted round 4). A fused
+  volume+pyramid kernel (AlternateCorrBlock analog) passed parity after a
+  HIGHEST-precision fix but lost the hardware timing to the plain XLA
+  matmul+pool path (2.85/2.11 ms vs 2.07 ms at Sintel 46x96 B=2) and could
+  not tile the bench geometry (H*W not a multiple of 8). The volume is one
+  big MXU matmul — exactly what XLA schedules best.
+
 - **matmuls / convs / attention**: left to XLA — at DETR/RAFT sizes the MXU
   scheduling XLA emits is already the right program; hand-written kernels
   would re-derive it.
 """
 
-from .corr_kernel import corr_volume_pyramid_pallas  # noqa: F401
 from .ms_deform_attn_kernel import ms_deform_attn_pallas  # noqa: F401

@@ -178,94 +178,6 @@ def _kernel(value_ref, idx_ref, cw_ref, out_ref, *, shapes, starts, P):
     out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
 
 
-def _corner_idx_cw_tile(locx, locy, aw, H_l, W_l):
-    """In-kernel corner prep for one level: locx/locy/aw (Tq, P) ->
-    (tile_idx, tile_cw) (Tq, 4P), corner-major — the same contract as the
-    host-side _corner_indices_weights, but on the query tile only (VPU
-    work over (Tq, P) vregs instead of a (B, nH, L, Lq_p, 4P) HBM
-    materialization per call site)."""
-    x = locx * W_l - 0.5
-    y = locy * H_l - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-    idx_parts, cw_parts = [], []
-    for dy_c, dx_c, bilin, _, _ in _CORNERS:
-        yy = y0 + dy_c
-        xx = x0 + dx_c
-        valid = (xx >= 0) & (xx < W_l) & (yy >= 0) & (yy < H_l)
-        flat = (jnp.clip(yy, 0, H_l - 1) * W_l
-                + jnp.clip(xx, 0, W_l - 1)).astype(jnp.int32)
-        idx_parts.append(flat)
-        cw_parts.append(jnp.where(valid, bilin(wx, wy) * aw, 0.0))
-    return (jnp.concatenate(idx_parts, -1),
-            jnp.concatenate(cw_parts, -1))
-
-
-def _kernel_fused(locx_ref, locy_ref, w_ref, value_ref, out_ref, *,
-                  shapes, starts, P):
-    """Prep-fused forward. Grid: (B, nH, Lq // Tq).
-
-    locx/locy/w_ref: (1, 1, L, Tq, P) raw sampling locations (in [0,1])
-    and attention weights; corner indices/bilinear weights are computed
-    IN-KERNEL per query tile (_corner_idx_cw_tile) instead of being
-    materialized host-side: at encoder scale (B=16, Lq~8700) the
-    host-side prep writes+reads ~570 MB of idx/cw per layer plus stacks
-    and transposes — measured round 4 at ~54 ms of the ~91 ms/layer
-    in-graph cost, vs 37 ms for the kernel itself. Coefficient
-    construction and the sampling matmul are shared with _kernel.
-    """
-    Tq = locx_ref.shape[3]
-    mm_dtype = value_ref.dtype if value_ref.dtype == jnp.bfloat16 \
-        else jnp.float32
-    prec = jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32 else None
-
-    big = [lvl for lvl, (h, w) in enumerate(shapes) if h * w > _DENSE_MAX]
-    small = [lvl for lvl, (h, w) in enumerate(shapes) if h * w <= _DENSE_MAX]
-    assert big == list(range(len(big))), shapes
-
-    idx_cw = [
-        _corner_idx_cw_tile(locx_ref[0, 0, lvl], locy_ref[0, 0, lvl],
-                            w_ref[0, 0, lvl], *shapes[lvl])
-        for lvl in range(len(shapes))]
-
-    parts = []
-    if big:
-        end = starts[len(big) - 1] + _pad_hw(
-            shapes[len(big) - 1][0] * shapes[len(big) - 1][1])
-        Mtot = end // _LANE
-        his, los, cws = [], [], []
-        for lvl in big:
-            gidx = idx_cw[lvl][0] + starts[lvl]
-            hi = gidx // _LANE
-            his.append(hi)
-            los.append(gidx - hi * _LANE)
-            cws.append(idx_cw[lvl][1])
-        hi = jnp.concatenate(his, axis=1)
-        lo = jnp.concatenate(los, axis=1)
-        cw = jnp.concatenate(cws, axis=1)
-        nJ = hi.shape[1]
-        iota_m = jax.lax.broadcasted_iota(jnp.int32, (Tq, Mtot, nJ), 1)
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (Tq, _LANE, nJ), 1)
-        HaT = jnp.where(iota_m == hi[:, None, :], cw[:, None, :], 0.0)
-        LbT = jnp.where(iota_l == lo[:, None, :], 1.0, 0.0)
-        coeff_big = jax.lax.dot_general(
-            HaT.astype(mm_dtype), LbT.astype(mm_dtype),
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=prec)
-        parts.append(coeff_big.reshape(Tq, end).astype(mm_dtype))
-    for lvl in small:
-        H_l, W_l = shapes[lvl]
-        parts.append(_coeff_plane(idx_cw[lvl][0], idx_cw[lvl][1],
-                                  H_l * W_l, P, Tq, mm_dtype))
-    coeff = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-    acc = jax.lax.dot(coeff, value_ref[0, 0, :, :].astype(mm_dtype),
-                      preferred_element_type=jnp.float32, precision=prec)
-    out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
-
-
 def _pad_q(loc, w, Lq, Tq):
     pad_q = (-Lq) % Tq
     if pad_q:
@@ -329,28 +241,26 @@ def _corner_indices_weights(shapes, loc, w):
     return idx, cw
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 4, 5))
 def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
                           attention_weights, tile_q: int = 64,
-                          interpret: bool = False, prep: str = "xla"):
+                          interpret: bool = False):
     """Shapes as in ops/ms_deform_attn.py:
     value (B, Len_v, nH, C); sampling_locations (B, Lq, nH, L, P, 2) in
     [0,1]; attention_weights (B, Lq, nH, L, P). Returns (B, Lq, nH * C).
 
     Layout: per-(batch, head) grid with the transposed construction (the
-    round-3 measured winner). Heads-in-lanes variants (hl/hlb) were tried
-    in rounds 3-4 and deleted: hl crashed the backend compiler at
-    production dims (63.6M scoped VMEM, then tpu_compile_helper exit 1 at
-    a raised limit) and hlb's bf16 iota does not lower on this Mosaic
-    version — DEVELOPMENT.md round-4 negative results.
-
-    prep: "fused" computes corner indices/bilinear weights IN-KERNEL from
-    the raw locations (_kernel_fused) — the round-4 profile showed the
-    host-side prep materializations dominating the encoder (~54 of
-    ~91 ms/layer at B=16 640px, 2.8x the kernel's own time); "xla" (the
-    default until the fused path is hardware parity-validated +
-    timed, scripts/exp_fused_prep.py) keeps the host-side
-    _corner_indices_weights path.
+    round-3 measured winner). Variants tried and DELETED on hardware
+    evidence (DEVELOPMENT.md round-4 negative results):
+    - hl/hlb heads-in-lanes layouts: hl crashed the backend compiler at
+      production dims (63.6M scoped VMEM, then tpu_compile_helper exit 1
+      at a raised limit); hlb's bf16 iota does not lower on this Mosaic
+      version.
+    - prep="fused" in-kernel corner math: won the synthetic op-level bench
+      (71.4 vs 101.1 ms B=8 encoder) but LOST end-to-end in the real model
+      (deformable bs16 640px bf16: 678 vs 583 ms) — in-graph, XLA already
+      fuses most of the host-side prep, and the synthetic producer chain
+      had overstated its cost.
     """
     B, Len_v, nH, C = value.shape
     Lq = sampling_locations.shape[1]
@@ -366,37 +276,6 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
     # lane-padded per level for the factored one-hot
     value_h = _pad_value_levels(value.transpose(0, 2, 1, 3), shapes)
     Len_p = value_h.shape[2]
-
-    if prep == "fused":
-        # (B, Lq_p, nH, L, P) -> (B, nH, L, Lq_p, P); three ~Lq_p*nH*L*P
-        # relayouts instead of the idx/cw stacks (4x larger, plus their
-        # build intermediates)
-        locx = loc[..., 0].transpose(0, 2, 3, 1, 4).astype(jnp.float32)
-        locy = loc[..., 1].transpose(0, 2, 3, 1, 4).astype(jnp.float32)
-        w_t = w.transpose(0, 2, 3, 1, 4).astype(jnp.float32)
-        if not interpret:
-            value_h, locx, locy, w_t = jax.lax.optimization_barrier(
-                (value_h, locx, locy, w_t))
-        kernel = functools.partial(_kernel_fused, shapes=shapes,
-                                   starts=starts, P=P)
-        qspec = pl.BlockSpec((1, 1, L, Tq, P), lambda b, h, t: (b, h, 0, t, 0),
-                             memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            kernel,
-            grid=(B, nH, Lq_p // Tq),
-            in_specs=[
-                qspec, qspec, qspec,
-                pl.BlockSpec((1, 1, Len_p, C), lambda b, h, t: (b, h, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, 1, Tq, C),
-                                   lambda b, h, t: (b, h, t, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, nH, Lq_p, C), value.dtype),
-            interpret=interpret,
-        )(locx, locy, w_t, value_h)
-        out = out.transpose(0, 2, 1, 3).reshape(B, Lq_p, nH * C)
-        return out[:, :Lq]
 
     idx, cw = _corner_indices_weights(shapes, loc, w)
 

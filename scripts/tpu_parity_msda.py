@@ -46,36 +46,6 @@ def run(verbose: bool = True) -> bool:
             print(f'{impl:7s} TPU vs CPU-lax: {d:.6f}'
                   f'{"" if d <= FWD_TOL else "  <-- FAIL"}', flush=True)
 
-    # both prep paths explicitly (the default follows ALO_MSDA_PREP; a
-    # prep flip must never skip hardware parity). Only the SHIPPED prep is
-    # fatal — an experimental path's compile failure must not abort the
-    # measurement session.
-    import os as _os
-    from aloception_tpu.ops.pallas.ms_deform_attn_kernel import (
-        ms_deform_attn_pallas)
-    shipped_prep = _os.environ.get('ALO_MSDA_PREP', 'xla')
-    for prep in ('xla', 'fused'):
-        fatal = prep == shipped_prep
-        try:
-            o = np.asarray(ms_deform_attn_pallas(
-                jnp.asarray(value), shapes, jnp.asarray(loc),
-                jnp.asarray(w), 64, False, prep))
-            d = np.abs(o - ref).max()
-            bad = bool(d > FWD_TOL)
-            if fatal:
-                ok &= not bad
-            if verbose:
-                print(f'pallas[prep={prep}] TPU vs CPU-lax: {d:.6f}'
-                      f'{"  <-- FAIL" if bad else ""}'
-                      f'{"" if fatal else " (informational)"}', flush=True)
-        except Exception as e:
-            if fatal:
-                ok = False
-            if verbose:
-                print(f'pallas[prep={prep}] EXCEPTION {type(e).__name__}: '
-                      f'{str(e)[:200]}'
-                      f'{"" if fatal else " (informational)"}', flush=True)
-
     # gradient parity too (pallas custom VJP on TPU vs CPU lax autodiff)
     def loss(fn, v, l, a):
         return jnp.sum(fn(v, shapes, l, a) ** 2)

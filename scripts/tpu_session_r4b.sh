@@ -28,9 +28,10 @@ run() {
 run probe 240 python -c "import jax; print(jax.devices())" || {
   echo "CLAIM DOWN" >> "$LOGD/summary.log"; exit 1; }
 
-run fused_prep 3600 python scripts/exp_fused_prep.py
-run corr_pallas 2400 python scripts/exp_corr_pallas.py
-run corr_pallas_big 1800 python scripts/exp_corr_pallas.py --b 8 --h 46 --w 62
+# fused_prep + corr_pallas steps RAN 2026-08-18 and their code was deleted
+# on the results (DEVELOPMENT.md round-4: fused prep lost e2e 678 vs
+# 583 ms; pallas corr lost to XLA 2.85 vs 2.07 ms and could not tile
+# 46x62). Remaining:
 run backbone_mfu 2700 python scripts/exp_backbone_mfu.py
 run backbone_mfu_nos2d 1800 python scripts/exp_backbone_mfu.py --no-s2d
 

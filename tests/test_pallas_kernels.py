@@ -7,34 +7,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from aloception_tpu.ops.pallas import corr_volume_pyramid_pallas
-from aloception_tpu.ops.correlation import corr_volume, corr_pyramid
-
-
-@pytest.mark.parametrize("shape", [(2, 8, 16, 32), (1, 6, 24, 64)])
-def test_corr_pyramid_kernel_parity(shape):
-    rng = np.random.RandomState(0)
-    f1 = jnp.asarray(rng.randn(*shape), jnp.float32)
-    f2 = jnp.asarray(rng.randn(*shape), jnp.float32)
-    ref = corr_pyramid(corr_volume(f1, f2), num_levels=3)
-    out = corr_volume_pyramid_pallas(f1, f2, num_levels=3, interpret=True)
-    for a, b in zip(ref, out):
-        assert a.shape == b.shape
-        assert float(jnp.abs(a - b).max()) < 1e-5
-
-
-def test_corr_pyramid_kernel_odd_level_dims():
-    """Odd intermediate dims floor exactly like the reference pooling."""
-    rng = np.random.RandomState(1)
-    f1 = jnp.asarray(rng.randn(1, 10, 16, 16), jnp.float32)  # 10 -> 5 -> 2
-    f2 = jnp.asarray(rng.randn(1, 10, 16, 16), jnp.float32)
-    ref = corr_pyramid(corr_volume(f1, f2), num_levels=3)
-    out = corr_volume_pyramid_pallas(f1, f2, num_levels=3, interpret=True)
-    for a, b in zip(ref, out):
-        assert a.shape == b.shape
-        assert float(jnp.abs(a - b).max()) < 1e-5
-
-
 def _msda_inputs(Lq=50, seed=0):
     rng = np.random.RandomState(seed)
     B, nH, C, L, P = 2, 8, 32, 4, 4
@@ -133,11 +105,12 @@ def test_ms_deform_attn_pallas_bwd_out_of_range_locations():
         assert float(jnp.abs(a - b).max()) / scale < 1e-5, name
 
 
-def test_ms_deform_attn_pallas_fused_prep_parity():
-    """prep='fused' (in-kernel corner math, round-4) must match both the
-    host-prep path and the lax oracle, including out-of-range locations
-    and the query-padding tail (interpret mode; hardware gate covers the
-    real lowering)."""
+def test_ms_deform_attn_pallas_oob_and_padding_parity():
+    """The kernel must match the lax oracle including out-of-range
+    locations and the query-padding tail (interpret mode; the hardware
+    gate covers the real lowering). A prep='fused' in-kernel corner-math
+    variant passed this same check in round 4 but LOST end-to-end on
+    hardware (678 vs 583 ms deformable bs16) and was deleted."""
     from aloception_tpu.ops.ms_deform_attn import ms_deform_attn_lax
     from aloception_tpu.ops.pallas.ms_deform_attn_kernel import (
         ms_deform_attn_pallas)
@@ -150,6 +123,5 @@ def test_ms_deform_attn_pallas_fused_prep_parity():
     loc = jnp.asarray(rng.rand(B, Lq, nH, 2, P, 2) * 1.6 - 0.3, jnp.float32)
     w = jnp.asarray(rng.rand(B, Lq, nH, 2, P), jnp.float32)
     want = ms_deform_attn_lax(value, shapes, loc, w)
-    for prep in ("xla", "fused"):
-        got = ms_deform_attn_pallas(value, shapes, loc, w, 64, True, prep)
-        assert float(jnp.abs(got - want).max()) < 1e-5, prep
+    got = ms_deform_attn_pallas(value, shapes, loc, w, 64, True)
+    assert float(jnp.abs(got - want).max()) < 1e-5

@@ -93,24 +93,6 @@ def test_raft_forward_shapes(tiny_raft):
     assert flows[-1].shape == (1, 64, 64, 2)
 
 
-def test_raft_corr_impl_pallas_matches_xla(tiny_raft):
-    """corr_impl='pallas' routes the fused volume+pyramid kernel
-    (ops/pallas/corr_kernel.py — the reference AlternateCorrBlock analog,
-    alonet/raft/corr.py:63) through the FULL model; flows must match the
-    XLA corr path bit-closely (interpret mode on CPU; hardware parity is
-    scripts/exp_corr_pallas.py)."""
-    model, params = tiny_raft
-    rng = np.random.RandomState(1)
-    f1 = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
-    f2 = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
-    ref = model.apply(params, f1, f2, iters=2)[-1]
-    model_p = RAFT(hidden_dim=32, context_dim=32, corr_levels=2,
-                   corr_radius=2, corr_impl="pallas")
-    got = model_p.apply(params, f1, f2, iters=2)[-1]
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
-
-
 def test_raft_sequence_loss_and_grad(tiny_raft):
     model, params = tiny_raft
     rng = np.random.RandomState(0)
