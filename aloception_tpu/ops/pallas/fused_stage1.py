@@ -51,36 +51,38 @@ def _mm(a, w, cdtype):
                        preferred_element_type=jnp.float32, precision=prec)
 
 
-def _kernel(xp_ref, w1_0, w1_1, w1_2, w2_ref, w3_ref, wd_ref,
-            b1_ref, b2_ref, b3_ref, bd_ref, out_ref, x_scr, sem, *,
+def _kernel(xs_ref, w1_0, w1_1, w1_2, w2_ref, w3_ref, wd_ref,
+            b1_ref, b2_ref, b3_ref, bd_ref, out_ref, *,
             H, W, Rs, n_blocks, interpret):
-    """One (batch, strip) grid step: DMA the haloed strip, run the whole
-    bottleneck stack in VMEM, write the valid (Rs, W, Co) output tile."""
-    b = pl.program_id(0)
+    """One (batch, strip) grid step: run the whole bottleneck stack on one
+    pre-haloed strip in VMEM, write the valid (Rs, W, Co) output tile.
+
+    The haloed strips arrive as a regular blocked input (XLA pre-gathers
+    the overlapping windows into a (B, S, R, Wp, Ci) tensor — a 1.4x HBM
+    copy of the stage input, ~0.2 ms at bs32): the round-4 hardware gate
+    crashed the TPU worker on the manual in-kernel DMA variant, and a
+    plain BlockSpec also gets automatic double-buffering."""
     s = pl.program_id(1)
     r0 = s * Rs
     R = Rs + 6
     Wp = W + 6
-    cdtype = x_scr.dtype
+    cdtype = xs_ref.dtype
     w1_refs = (w1_0, w1_1, w1_2)[:n_blocks]
-
-    if interpret:
-        x_scr[:] = xp_ref[b, pl.ds(r0, R)]
-    else:
-        dma = pltpu.make_async_copy(xp_ref.at[b, pl.ds(r0, R)], x_scr, sem)
-        dma.start()
-        dma.wait()
 
     # in/out-of-image mask at this strip's global coordinates: tile row t is
     # global row r0 - 3 + t (xp carries 3 pad rows), tile col c is global
     # col c - 3. Zeroing h1 here reproduces the unfused zero-padding of
     # every 3x3 conv input exactly.
-    g_row = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 0) + (r0 - 3)
-    g_col = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1) - 3
+    # built directly in flat (R*Wp, 1) form: Mosaic rejects the 2D->flat
+    # shape cast ((R, Wp) -> (R*Wp, 1), round-4 hardware gate), so derive
+    # (row, col) from a flat iota instead
+    flat = jax.lax.broadcasted_iota(jnp.int32, (R * Wp, 1), 0)
+    g_row = flat // Wp + (r0 - 3)
+    g_col = flat % Wp - 3
     mask = ((g_row >= 0) & (g_row < H) & (g_col >= 0) & (g_col < W))
-    mask = mask.astype(cdtype).reshape(R * Wp, 1)
+    mask = mask.astype(cdtype)
 
-    t = x_scr[:].reshape(R * Wp, x_scr.shape[-1])
+    t = xs_ref[0, 0].reshape(R * Wp, xs_ref.shape[-1])
     for j in range(n_blocks):
         Cm = w2_ref.shape[-1]
         h1 = _mm(t, w1_refs[j][:], cdtype) + b1_ref[j:j + 1]
@@ -167,18 +169,41 @@ def _stage_pallas(x, fw, interpret):
     full = lambda a: pl.BlockSpec(a.shape, lambda b, s: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     w1_args = list(w1s) + [w1s[-1]] * (3 - len(w1s))  # pad to 3 refs
+    # the strip DMA slices the HBM memref along channels, whose tiling is
+    # 128 lanes — Ci=64 misaligns ("slice shape along dimension 3 must be
+    # aligned to tiling", round-4 hardware gate). Zero-pad channels to the
+    # lane width and the block-0 input-side weights to match (exact: the
+    # padded rows contribute 0 to every matmul).
+    Ci_p = -(-Ci // 128) * 128
+    if Ci_p != Ci:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, Ci_p - Ci)))
+        w1_args[0] = jnp.pad(w1_args[0], ((0, Ci_p - Ci), (0, 0)))
+        wd = jnp.pad(wd, ((0, Ci_p - Ci), (0, 0)))
+        Ci = Ci_p
+    # pre-haloed strips: XLA gathers the overlapping (R = Rs+6)-row windows
+    # into a blocked (B, S, R, Wp, Ci) tensor so the kernel input is a
+    # REGULAR BlockSpec (auto double-buffered); the manual in-kernel DMA
+    # variant crashed the TPU worker (round-4 hardware gate). Costs one
+    # extra R/Rs ~ 1.4x HBM copy of the stage input (~0.2 ms at bs32).
+    S = H // Rs
+    xs = jnp.stack([xp[:, s * Rs:s * Rs + R] for s in range(S)], axis=1)
     out = pl.pallas_call(
         kernel,
-        grid=(B, H // Rs),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        grid=(B, S),
+        in_specs=[pl.BlockSpec((1, 1, R, Wp, Ci),
+                               lambda b, s: (b, s, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
         + [full(a) for a in (*w1_args, w2, w3, wd, b1, b2, b3, bd)],
         out_specs=pl.BlockSpec((1, Rs, W, Co), lambda b, s: (b, s, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Co), x.dtype),
-        scratch_shapes=[pltpu.VMEM((R, Wp, Ci), cdtype),
-                        pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(xp.astype(cdtype), *[a.astype(f32) for a in w1_args],
+        # the whole-stage VMEM residency is the point of the kernel: the
+        # f32 strip at Rs=16 needs ~33M scoped (bf16 ~17M) vs the 16M
+        # default — raise toward the part's 128M physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
+    )(xs.astype(cdtype), *[a.astype(f32) for a in w1_args],
       w2.astype(f32), w3.astype(f32), wd.astype(f32),
       b1.astype(f32), b2.astype(f32), b3.astype(f32), bd.astype(f32))
     return out

@@ -241,10 +241,11 @@ def _corner_indices_weights(shapes, loc, w):
     return idx, cw
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6))
 def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
                           attention_weights, tile_q: int = 64,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          vmem_limit_bytes: int | None = None):
     """Shapes as in ops/ms_deform_attn.py:
     value (B, Len_v, nH, C); sampling_locations (B, Lq, nH, L, P, 2) in
     [0,1]; attention_weights (B, Lq, nH, L, P). Returns (B, Lq, nH * C).
@@ -306,6 +307,9 @@ def ms_deform_attn_pallas(value, value_spatial_shapes, sampling_locations,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nH, Lq_p, C), value.dtype),
         interpret=interpret,
+        compiler_params=(None if vmem_limit_bytes is None else
+                         pltpu.CompilerParams(
+                             vmem_limit_bytes=vmem_limit_bytes)),
     )(value_h, idx, cw)
 
     out = out.transpose(0, 2, 1, 3).reshape(B, Lq_p, nH * C)
