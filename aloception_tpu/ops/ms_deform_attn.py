@@ -229,9 +229,13 @@ def _msda_pallas(shapes, value, loc, w):
     import jax as _jax
     from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas
     interpret = _jax.default_backend() == "cpu"
-    # Tq=64 keeps the per-program coeff/iota planes under the 16M VMEM cap
-    # at encoder-scale levels (128 OOMs at level0 HW=6400)
-    return ms_deform_attn_pallas(value, shapes, loc, w, 64, interpret)
+    # Tq=128: the round-4 hardware ablation (scripts/exp_msda_tq.py,
+    # B=16 640px encoder) measured 86.1/83.7/83.9 ms at Tq=64/128/256 —
+    # the old Tq=64 OOM note predated the transposed construction. The
+    # head-fused variant (exp_msda_hf.py: 8 heads per program, shared
+    # iotas) landed within the same 83-94 ms band: the op is at its
+    # construction-floor at these dims, not launch/iota-overhead bound.
+    return ms_deform_attn_pallas(value, shapes, loc, w, 128, interpret)
 
 
 def _msda_pallas_fwd(shapes, value, loc, w):

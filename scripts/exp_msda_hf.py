@@ -83,6 +83,7 @@ def _hf_kernel(value_ref, idx_ref, cw_ref, out_ref, *, shapes, starts, P):
         iota_m = jax.lax.broadcasted_iota(jnp.int32, (Tq, Mtot, nJ), 1)
         iota_l = jax.lax.broadcasted_iota(jnp.int32, (Tq, _LANE, nJ), 1)
 
+    accs = []
     for h in range(nH):
         parts = []
         if big:
@@ -112,7 +113,12 @@ def _hf_kernel(value_ref, idx_ref, cw_ref, out_ref, *, shapes, starts, P):
         acc = jax.lax.dot(coeff, value_ref[0, h, :, :].astype(mm_dtype),
                           preferred_element_type=jnp.float32,
                           precision=prec)
-        out_ref[0, :, h, :] = acc.astype(out_ref.dtype)
+        accs.append(acc.astype(out_ref.dtype))
+    # ONE lane-aligned (Tq, nH*C) write: a per-head out_ref[0, :, h, :]
+    # 32-lane slice write crashes the compile helper on the bf16 path
+    # (packed (16,128) tiling), and the concat matches the op's final
+    # (B, Lq, nH*C) layout anyway
+    out_ref[0] = jnp.concatenate(accs, axis=-1)
 
 
 def ms_deform_attn_hf(value, value_spatial_shapes, sampling_locations,
@@ -155,14 +161,14 @@ def ms_deform_attn_hf(value, value_spatial_shapes, sampling_locations,
                          lambda b, t: (b, 0, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Tq, nH, C), lambda b, t: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((1, Tq, nH * C), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Lq_p, nH, C), value.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Lq_p, nH * C), value.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes),
     )(value_h, idx, cw)
-    return out.reshape(B, Lq_p, nH * C)[:, :Lq]
+    return out[:, :Lq]
 
 
 def softmax_w(rng, B, Lq, nH, L, P):
