@@ -106,13 +106,12 @@ class ResNet(nn.Module):
     ~4x faster on the MXU (3 -> 12 input lanes, 1/4 the positions)."""
     stage_sizes: Sequence[int] = (3, 4, 6, 3)  # resnet50
     space_to_depth: bool = False
-    # Run stage 1 as ONE fused Pallas kernel (ops/pallas/fused_stage1.py):
-    # the round-4 MFU profile shows layer1 at 13% MXU / 14 ms of the 27 ms
-    # backbone, dominated by the inter-conv HBM round-trips the fusion
-    # removes. Params/checkpoints are identical either way (the kernel
-    # folds the same frozen-BN weights at apply time); init always runs
-    # the unfused blocks so the tree exists.
-    fused_stage1: bool = False
+    # NOTE a fused whole-stage-1 Pallas kernel (VMEM-resident bottleneck
+    # stack) was built and hardware-gated in round 4: it beat the XLA
+    # stack in a synthetic stage bench (15.8 vs 21.1 ms bs32 bf16) but
+    # LOST end-to-end in DETR (41.4 vs 32.0 ms) — in-model, XLA fuses
+    # layer1 with its neighbors better than the strip harness predicts.
+    # Deleted per the no-knob-limbo rule; see DEVELOPMENT.md round 4.
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -131,20 +130,13 @@ class ResNet(nn.Module):
         features = 64
         for i, num_blocks in enumerate(self.stage_sizes):
             strides = 1 if i == 0 else 2
-            if i == 0 and self.fused_stage1 and not self.is_initializing():
-                from ...ops.pallas.fused_stage1 import (
-                    fused_bottleneck_stage, fold_stage_params)
-                blocks = [self.variables["params"][f"layer1_block{j}"]
-                          for j in range(num_blocks)]
-                x = fused_bottleneck_stage(x, fold_stage_params(blocks))
-            else:
-                for j in range(num_blocks):
-                    x = Bottleneck(
-                        features,
-                        strides=strides if j == 0 else 1,
-                        downsample=(j == 0),
-                        dtype=self.dtype,
-                        name=f"layer{i + 1}_block{j}")(x)
+            for j in range(num_blocks):
+                x = Bottleneck(
+                    features,
+                    strides=strides if j == 0 else 1,
+                    downsample=(j == 0),
+                    dtype=self.dtype,
+                    name=f"layer{i + 1}_block{j}")(x)
             feats[f"layer{i + 1}"] = x
             features *= 2
         return feats
@@ -157,7 +149,6 @@ class Backbone(nn.Module):
     return_layers: Sequence[str] = ("layer4",)
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     space_to_depth: bool = False
-    fused_stage1: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -166,7 +157,6 @@ class Backbone(nn.Module):
         (the batch_list padded-area mask)."""
         feats = ResNet(stage_sizes=self.stage_sizes, dtype=self.dtype,
                        space_to_depth=self.space_to_depth,
-                       fused_stage1=self.fused_stage1,
                        name="trunk")(images)
         if mask is None:
             mask = jnp.zeros(images.shape[:3], dtype=jnp.float32)

@@ -41,7 +41,6 @@ class DeformableDETR(nn.Module):
     return_intermediate: bool = False
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     space_to_depth: bool = True
-    fused_stage1: bool = False  # fused stage-1 kernel (see models/detr)
     dtype: Any = jnp.float32
 
     @property
@@ -57,7 +56,6 @@ class DeformableDETR(nn.Module):
             if self.return_intermediate else ("layer2", "layer3", "layer4")
         feats = Backbone(return_layers=layers, stage_sizes=self.stage_sizes,
                          space_to_depth=self.space_to_depth,
-                         fused_stage1=self.fused_stage1,
                          dtype=self.dtype, name="backbone")(images, mask)
         ms_feats = feats[-3:]  # C3, C4, C5
 

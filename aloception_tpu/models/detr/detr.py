@@ -39,9 +39,6 @@ class Detr(nn.Module):
     return_intermediate: bool = False  # expose memory/backbone feats (panoptic)
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     space_to_depth: bool = True  # s2d stem: ~4x faster conv1 on MXU
-    # fused stage-1 Pallas kernel (ops/pallas/fused_stage1.py) — removes
-    # the layer1 inter-conv HBM round trips (14 -> ~? ms of the backbone)
-    fused_stage1: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -58,7 +55,6 @@ class Detr(nn.Module):
             if self.return_intermediate else ("layer4",)
         feats = Backbone(return_layers=layers, stage_sizes=self.stage_sizes,
                          space_to_depth=self.space_to_depth,
-                         fused_stage1=self.fused_stage1,
                          dtype=self.dtype, name="backbone")(images, mask)
         src, feat_mask = feats[-1]
         B, H, W, _ = src.shape
