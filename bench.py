@@ -214,24 +214,38 @@ def _device_probe(timeout_s: int = 240) -> bool:
         return False
 
 
-def _parity_gate() -> bool:
+def _parity_gate(smoke: bool = False) -> bool:
     """Run the TPU-vs-CPU-oracle parity audits BEFORE any timing: the
     round-2 backend-miscompile episode (DEVELOPMENT.md "silently WRONG on
     real TPU") proved a wrong-but-fast kernel would otherwise record a
     green BENCH number. Runs the scripts as subprocesses (exit-code
-    contract) so a crash also gates."""
+    contract) so a crash also gates.
+
+    The subprocess gets an explicit PYTHONPATH pointing at the repo root:
+    a bare ``python scripts/foo.py`` puts ``scripts/`` at sys.path[0], so
+    ``import aloception_tpu`` fails — exactly the bug that nulled
+    BENCH_r04 (the driver runs ``python bench.py`` with no env). The gate
+    mechanics are under test (tests/test_bench_gate.py) so this can never
+    silently regress again.
+
+    ``smoke=True`` passes ``--smoke`` to the scripts (tiny dims) — used by
+    the CPU test to exercise this exact subprocess path.
+    """
     import os
     import subprocess
     import sys
     here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
     ok = True
     residuals = {}
     for script in ("tpu_parity_msda.py", "tpu_parity_models.py"):
         path = os.path.join(here, "scripts", script)
         print(f"[bench] parity gate: {script} ...", file=sys.stderr,
               flush=True)
+        cmd = [sys.executable, path] + (["--smoke"] if smoke else [])
         try:
-            r = subprocess.run([sys.executable, path], capture_output=True,
+            r = subprocess.run(cmd, capture_output=True, cwd=here, env=env,
                                text=True, timeout=1800)
         except subprocess.TimeoutExpired as e:
             sys.stderr.write(f"[bench] {script} TIMED OUT: {e}\n")

@@ -13,6 +13,16 @@ or larger diff means a backend miscompile or a real bug — bisect with the
 per-level masking technique in scripts/tpu_parity_msda.py.
 """
 
+import os
+import sys
+
+# Bootstrap: a bare ``python scripts/tpu_parity_models.py`` puts scripts/ at
+# sys.path[0], not the repo root — the exact ModuleNotFoundError that nulled
+# BENCH_r04. bench.py's gate also sets PYTHONPATH (belt), this is braces.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 import numpy as np
 
 
@@ -40,9 +50,16 @@ def _run(build, make_inputs, outs, cpu_build=None):
     return report
 
 
-def main() -> float:
+def main(smoke: bool = False) -> float:
     """Returns the worst max-rel-diff; exit code 0 iff < 1e-3 (bench.py
-    gates perf records on this)."""
+    gates perf records on this). ``smoke`` forces CPU + smaller inputs so
+    tests/test_bench_gate.py can exercise the exact subprocess path in
+    seconds; the models are already tiny, only the device changes much."""
+    import jax
+    if smoke:
+        # sitecustomize pre-imports jax, so JAX_PLATFORMS env is captured
+        # too late (tests/conftest.py) — force CPU via config instead.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
@@ -54,9 +71,12 @@ def main() -> float:
                  dim_feedforward=128, stage_sizes=(1, 1, 1, 1))
         return m, 0
 
+    H, W = (64, 96) if smoke else (128, 160)
+    B = 1 if smoke else 2
+
     def detr_in():
-        return (jnp.asarray(rng.randn(2, 128, 160, 3), jnp.float32),
-                jnp.zeros((2, 128, 160), jnp.float32))
+        return (jnp.asarray(rng.randn(B, H, W, 3), jnp.float32),
+                jnp.zeros((B, H, W), jnp.float32))
 
     def deformable(impl="block"):
         # CPU side runs impl="block" (pure XLA — the pallas dispatcher only
@@ -76,9 +96,11 @@ def main() -> float:
         m = RAFT(hidden_dim=32, context_dim=32, corr_levels=2, corr_radius=2)
         return m, 0
 
+    rH, rW = (48, 64) if smoke else (96, 128)
+
     def raft_in():
-        return (jnp.asarray(rng.randn(1, 96, 128, 3), jnp.float32),
-                jnp.asarray(rng.randn(1, 96, 128, 3), jnp.float32))
+        return (jnp.asarray(rng.randn(1, rH, rW, 3), jnp.float32),
+                jnp.asarray(rng.randn(1, rH, rW, 3), jnp.float32))
 
     checks = [
         ("detr", detr, detr_in,
@@ -110,5 +132,4 @@ def main() -> float:
 
 
 if __name__ == "__main__":
-    import sys
-    sys.exit(0 if main() < 1e-3 else 1)
+    sys.exit(0 if main(smoke="--smoke" in sys.argv[1:]) < 1e-3 else 1)

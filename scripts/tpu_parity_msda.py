@@ -6,7 +6,15 @@ GATE before recording any perf number — the round-2 backend-miscompile
 episode (DEVELOPMENT.md) proved a wrong-but-fast kernel would otherwise
 produce a green BENCH file.
 """
+import os
 import sys
+
+# Bootstrap: a bare ``python scripts/tpu_parity_msda.py`` puts scripts/ at
+# sys.path[0], not the repo root — the exact ModuleNotFoundError that nulled
+# BENCH_r04. bench.py's gate also sets PYTHONPATH (belt), this is braces.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 import numpy as np
 
@@ -15,18 +23,31 @@ FWD_TOL = 1e-4      # abs, inputs are O(1) randn
 GRAD_REL_TOL = 1e-4  # maxdiff / grad scale
 
 
-def run(verbose: bool = True) -> bool:
+def run(verbose: bool = True, smoke: bool = False) -> bool:
     import jax
+
+    if smoke:
+        # sitecustomize pre-imports jax, so JAX_PLATFORMS env is captured
+        # too late (tests/conftest.py) — force CPU via config instead.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from aloception_tpu.ops.ms_deform_attn import (ms_deform_attn,
                                                    ms_deform_attn_lax)
 
-    C, P = 32, 4
-    shapes = ((80, 80), (40, 40), (20, 20), (10, 10))
+    if smoke:
+        # tiny dims: exercises the exact subprocess/import/dispatch path on
+        # CPU in seconds (tests/test_bench_gate.py) — the BENCH_r04 failure
+        # mode was a ModuleNotFoundError, not a numerics miss.
+        C, P = 8, 2
+        shapes = ((8, 8), (4, 4))
+        B, nH, Lq = 1, 2, 16
+    else:
+        C, P = 32, 4
+        shapes = ((80, 80), (40, 40), (20, 20), (10, 10))
+        B, nH, Lq = 2, 8, 300
     L = len(shapes)
     Len_v = sum(h * w for h, w in shapes)
     rng = np.random.RandomState(0)
-    B, nH, Lq = 2, 8, 300
     value = rng.randn(B, Len_v, nH, C).astype(np.float32)
     loc = rng.rand(B, Lq, nH, L, P, 2).astype(np.float32)
     w = rng.rand(B, Lq, nH, L, P).astype(np.float32)
@@ -75,4 +96,4 @@ def run(verbose: bool = True) -> bool:
 
 
 if __name__ == "__main__":
-    sys.exit(0 if run() else 1)
+    sys.exit(0 if run(smoke="--smoke" in sys.argv[1:]) else 1)
