@@ -224,18 +224,29 @@ def ms_deform_attn_block(value, value_spatial_shapes, sampling_locations,
 import functools
 
 
+def _pick_tile_q(shapes) -> int:
+    """Query-tile size by level-0 area. Tq=128 won the round-4 hardware
+    ablation at 640px (level-0 80x80: 86.1/83.7/83.9 ms at Tq=64/128/256,
+    scripts/exp_msda_tq.py) but the kernel's per-program VMEM (coeff plane
+    Tq x Len_p plus iota/one-hot planes Tq x Mtot x nJ) scales with
+    Tq * level-0 area, so the larger multi-scale buckets (up to ~832x1344,
+    level-0 ~104x168) keep Tq=64 — the pre-round-4 default, compile-proven
+    across the bucket ladder by the round-4 geometry demo
+    (scripts/train_geometry_tpu.py)."""
+    lvl0 = shapes[0][0] * shapes[0][1] if shapes else 0
+    return 128 if lvl0 <= 80 * 80 else 64
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _msda_pallas(shapes, value, loc, w):
     import jax as _jax
     from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas
     interpret = _jax.default_backend() == "cpu"
-    # Tq=128: the round-4 hardware ablation (scripts/exp_msda_tq.py,
-    # B=16 640px encoder) measured 86.1/83.7/83.9 ms at Tq=64/128/256 —
-    # the old Tq=64 OOM note predated the transposed construction. The
-    # head-fused variant (exp_msda_hf.py: 8 heads per program, shared
-    # iotas) landed within the same 83-94 ms band: the op is at its
-    # construction-floor at these dims, not launch/iota-overhead bound.
-    return ms_deform_attn_pallas(value, shapes, loc, w, 128, interpret)
+    # The head-fused variant (exp_msda_hf.py: 8 heads per program, shared
+    # iotas) landed within the same 83-94 ms band as the Tq ablation: the
+    # op is at its construction-floor at these dims, not launch/iota bound.
+    return ms_deform_attn_pallas(value, shapes, loc, w, _pick_tile_q(shapes),
+                                 interpret)
 
 
 def _msda_pallas_fwd(shapes, value, loc, w):

@@ -207,7 +207,8 @@ def main():
     loc = jnp.asarray(rng.rand(2, Lq, nH, len(shp_s), P, 2) * 1.2 - 0.1,
                       jnp.float32)
     w = softmax_w(rng, 2, Lq, nH, len(shp_s), P)
-    ref = np.asarray(ms_deform_attn_lax(value, shp_s, loc, w))
+    with jax.default_device(jax.devices('cpu')[0]):
+        ref = np.asarray(ms_deform_attn_lax(value, shp_s, loc, w))
     sc = np.abs(ref).max()
     got = np.asarray(ms_deform_attn_hf(value, shp_s, loc, w, args.tq,
                                        interp))
@@ -223,7 +224,8 @@ def main():
     value = jnp.asarray(rng.randn(2, Lv, nH, C), jnp.float32)
     loc = jnp.asarray(rng.rand(2, Lv, nH, len(lvls), P, 2), jnp.float32)
     w = softmax_w(rng, 2, Lv, nH, len(lvls), P)
-    ref = np.asarray(ms_deform_attn_lax(value, lvls, loc, w))
+    with jax.default_device(jax.devices('cpu')[0]):
+        ref = np.asarray(ms_deform_attn_lax(value, lvls, loc, w))
     sc = np.abs(ref).max()
     got = np.asarray(ms_deform_attn_hf(value, lvls, loc, w, args.tq,
                                        interp))

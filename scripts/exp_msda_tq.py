@@ -87,7 +87,8 @@ def main():
     loc = jnp.asarray(rng.rand(2, Lq, nH, len(shp_s), P, 2) * 1.2 - 0.1,
                       jnp.float32)
     w = softmax_w(rng, 2, Lq, nH, len(shp_s), P)
-    ref = np.asarray(ms_deform_attn_lax(value, shp_s, loc, w))
+    with jax.default_device(jax.devices('cpu')[0]):
+        ref = np.asarray(ms_deform_attn_lax(value, shp_s, loc, w))
     sc = np.abs(ref).max()
     for tq in args.tqs:
         got = np.asarray(ms_deform_attn_pallas(value, shp_s, loc, w, tq,

@@ -125,3 +125,16 @@ def test_ms_deform_attn_pallas_oob_and_padding_parity():
     want = ms_deform_attn_lax(value, shapes, loc, w)
     got = ms_deform_attn_pallas(value, shapes, loc, w, 64, True)
     assert float(jnp.abs(got - want).max()) < 1e-5
+
+
+def test_msda_tile_q_picked_by_level0_area():
+    """ADVICE r4: Tq=128 was only VMEM-validated at 640px (level-0 80x80);
+    the kernel's per-program VMEM scales with Tq * level-0 area, so the
+    large multi-scale buckets (max-side 1333 -> level-0 up to ~104x168)
+    must fall back to the compile-proven Tq=64."""
+    from aloception_tpu.ops.ms_deform_attn import _pick_tile_q
+    assert _pick_tile_q(((80, 80), (40, 40), (20, 20), (10, 10))) == 128
+    assert _pick_tile_q(((46, 62), (23, 31), (12, 16), (6, 8))) == 128
+    # the geometry-demo bucket ladder (stride-8 level 0)
+    assert _pick_tile_q(((88, 120), (44, 60), (22, 30), (11, 15))) == 64
+    assert _pick_tile_q(((104, 168), (52, 84), (26, 42), (13, 21))) == 64
