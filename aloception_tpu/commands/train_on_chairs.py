@@ -23,6 +23,10 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize before the mesh (env: "
+                        "ALO_COORDINATOR_ADDRESS/ALO_NUM_PROCESSES/"
+                        "ALO_PROCESS_ID or TPU-pod auto-detect)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="K>1: K batches per jitted scan block "
                         "(docs/training.md)")
@@ -31,6 +35,9 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        from aloception_tpu.parallel import init_multihost
+        init_multihost()
     from aloception_tpu.train import Data2RAFT, make_raft_trainer
 
     dm = Data2RAFT(batch_size=args.batch_size, num_workers=args.num_workers,

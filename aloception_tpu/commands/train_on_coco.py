@@ -48,6 +48,12 @@ def add_argparse_args(p: argparse.ArgumentParser):
                    help="tensor-parallel axis size")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize multi-host JAX before building the mesh "
+                        "(jax.distributed.initialize from "
+                        "ALO_COORDINATOR_ADDRESS / ALO_NUM_PROCESSES / "
+                        "ALO_PROCESS_ID, or TPU-pod auto-detect; the DDP "
+                        "bring-up analog, pl_helpers.py:365-374)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model for smoke runs")
     return p
@@ -58,6 +64,9 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        from aloception_tpu.parallel import init_multihost
+        init_multihost()
     import jax.numpy as jnp
     from aloception_tpu.train import (
         CocoDetection2Detr, make_detr_trainer, make_deformable_detr_trainer,

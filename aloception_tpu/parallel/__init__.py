@@ -4,4 +4,4 @@ from .shard import (shard_batch, replicate, partition_params,  # noqa: F401
 from .pipeline import (gpipe, stack_layer_params,  # noqa: F401
                        extract_layer_stack, shard_layer_stack)
 from .distributed import (is_main_process, main_process_only,  # noqa: F401
-                          process_count, local_device_count)
+                          process_count, local_device_count, init_multihost)

@@ -15,8 +15,9 @@ Axes:
 - ``pp``  — pipeline parallel (stacked layer params sharded per stage;
             activations hop stages via lax.ppermute — parallel/pipeline.py)
 
-Multi-host (DCN) comes for free from jax.distributed initialization: the same
-mesh spans all processes' devices.
+Multi-host (DCN): call ``parallel.init_multihost()`` (distributed.py) —
+or pass ``--multihost`` to the train CLIs — before building the mesh; after
+``jax.distributed.initialize`` the same mesh spans all processes' devices.
 """
 
 from __future__ import annotations
