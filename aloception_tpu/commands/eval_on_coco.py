@@ -31,6 +31,13 @@ def main(argv=None):
     p.add_argument("--log_dir", default=None,
                    help="experiment root for --run_id resolution")
     p.add_argument("--best", action="store_true", help="best ckpt (else last)")
+    p.add_argument("--weights", default=None,
+                   help="published-weight name from the registry "
+                        "(detr-r50, deformable-detr-r50[-refinement], "
+                        "detr-r50-panoptic — see WEIGHTS.md) or a direct "
+                        ".pth path; converted torch->flax on the fly "
+                        "(reference: alonet/common/weights.py:34 "
+                        "load_weights)")
     p.add_argument("--threshold", type=float, default=0.0)
     p.add_argument("--limit_batches", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
@@ -100,13 +107,17 @@ def main(argv=None):
         from aloception_tpu.models.deformable_detr import (
             DeformableDETR, deformable_detr_r50)
         from aloception_tpu.models.deformable_detr import inference as inf
+        # published 'deformable-detr-r50' (no suffix) is the non-refinement
+        # checkpoint (reference weights.py:8-13) — match the model config
+        refine = not (args.weights and "deformable" in args.weights
+                      and "refinement" not in args.weights)
         model = DeformableDETR(num_classes=n_cls, hidden_dim=64,
                                num_queries=20, nheads=4,
                                num_encoder_layers=2, num_decoder_layers=2,
                                dim_feedforward=128, stage_sizes=(1, 1, 1, 1),
-                               with_box_refine=True) \
+                               with_box_refine=refine) \
             if args.tiny else deformable_detr_r50(num_classes=n_cls,
-                                                  with_box_refine=True)
+                                                  with_box_refine=refine)
         inference = lambda o, fs=None: inf(o, threshold=max(args.threshold,
                                                             0.2))
 
@@ -127,7 +138,29 @@ def main(argv=None):
         if params is None:
             params = model.init(jax.random.PRNGKey(0),
                                 jnp.asarray(images[:1]), jnp.asarray(mask[:1]))
-            if args.ckpt_dir:
+            if args.weights:
+                # published torch .pth -> flax on the fly (reference
+                # load_weights, alonet/common/weights.py:34; see WEIGHTS.md)
+                from functools import partial
+                from aloception_tpu.utils import weights as W
+                if args.model == "detr":
+                    conv = W.convert_detr_checkpoint
+                elif args.model == "deformable":
+                    conv = partial(W.convert_deformable_checkpoint,
+                                   with_box_refine=refine)
+                elif args.model == "panoptic":
+                    def conv(sd):
+                        c = W.convert_panoptic_checkpoint(sd)
+                        return {"params": {
+                            "detector": c["detr"]["params"],
+                            "panoptic_head": c["head"]["params"]}}
+                else:
+                    raise SystemExit(
+                        "--weights: the reference publishes no "
+                        "deformable-panoptic checkpoint (weights.py:6-31)")
+                params = W.load_weights(params, args.weights, converter=conv)
+                print(f"[eval] loaded published weights {args.weights}")
+            elif args.ckpt_dir:
                 from aloception_tpu.train import CheckpointManager
                 ckpt = CheckpointManager(args.ckpt_dir)
                 tree = ckpt.restore_tree(best=args.best)

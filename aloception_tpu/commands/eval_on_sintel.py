@@ -16,6 +16,12 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--iters", type=int, default=12)
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--weights", default=None,
+                   help="published-weight name (raft-things, raft-chairs, "
+                        "raft-sintel, raft-kitti, raft-small — see "
+                        "WEIGHTS.md) or a direct .pth path; converted "
+                        "torch->flax on the fly (reference: "
+                        "alonet/common/weights.py:34 load_weights)")
     p.add_argument("--best", action="store_true")
     p.add_argument("--limit_samples", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
@@ -59,12 +65,29 @@ def main(argv=None):
         f1p, f2p = padder.pad(jnp.asarray(f1), jnp.asarray(f2))
         if params is None:
             params = model.init(jax.random.PRNGKey(0), f1p, f2p, iters=1)
-            if args.ckpt_dir:
+            if args.weights:
+                from functools import partial
+                from aloception_tpu.utils.weights import (
+                    convert_raft_checkpoint, load_weights)
+                params = load_weights(
+                    params, args.weights,
+                    converter=partial(convert_raft_checkpoint,
+                                      small=args.small))
+                print(f"[eval] loaded published weights {args.weights}")
+            elif args.ckpt_dir:
+                # restore_tree, NOT restore(state): eval must not have to
+                # reconstruct the training-time optimizer chain to read a
+                # checkpoint (restore(state) with a fresh no-tx state fails
+                # on the opt_state structure mismatch — caught by the
+                # round-5 end-to-end eval rehearsal)
                 from aloception_tpu.train import CheckpointManager
-                from aloception_tpu.train.state import make_train_state
                 ckpt = CheckpointManager(args.ckpt_dir)
-                state = make_train_state(model, params)
-                params = ckpt.restore(state, best=args.best).params
+                tree = ckpt.restore_tree(best=args.best)
+                params = dict(tree["params"])
+                if tree.get("batch_stats") is not None:
+                    params["batch_stats"] = tree["batch_stats"]
+                print(f"[eval] restored step "
+                      f"{ckpt.best_step() if args.best else ckpt.last_step()}")
         flow = np.asarray(padder.unpad(apply(params, f1p, f2p)))[0]
         epe = float(np.sqrt(((flow - gt) ** 2).sum(-1)).mean())
         epes.append(epe)

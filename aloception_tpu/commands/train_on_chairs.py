@@ -61,6 +61,7 @@ def main(argv=None):
                 resume=args.resume)
     print(f"[train_on_chairs] done: step={trainer.global_step} "
           f"val={trainer.last_val_metrics} ckpt={trainer.ckpt_dir}")
+    return trainer.ckpt_dir
 
 
 if __name__ == "__main__":

@@ -259,7 +259,8 @@ def _parity_gate(smoke: bool = False) -> bool:
         residuals[script] = [
             ln for ln in r.stdout.splitlines()
             if ("vs CPU-lax" in ln or "grad " in ln or "parity" in ln
-                or "maxdiff" in ln) and "INFO" not in ln][-14:]
+                or "maxdiff" in ln or "rel diff" in ln or "WORST" in ln)
+            and "INFO" not in ln][-14:]
     _parity_gate.residuals = residuals
     return ok
 
@@ -377,6 +378,13 @@ def main():
     extra = {}
     if getattr(_parity_gate, "residuals", None):
         extra["parity_gate"] = _parity_gate.residuals
+    # multi-scale training demo record (scripts/train_geometry_tpu.py writes
+    # it; VERDICT r4 #5 — round-over-round training perf must be diffable)
+    geo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs",
+                       "geometry_demo.json")
+    if os.path.exists(geo):
+        with open(geo) as f:
+            extra["geometry_demo_steps_per_sec"] = json.load(f)
     headline = bench_detr(args)
     for name in ("raft", "deformable", "train", "loader"):
         try:

@@ -19,6 +19,7 @@ Usage: python scripts/train_geometry_tpu.py --batches 40
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -173,6 +174,7 @@ def main():
         shape = tuple(b["inputs"][0].shape[1:3])
         if shape not in rep:
             rep[shape] = b
+    buckets = {}
     for s in sorted(rep):
         b = rep[s]
         images, mask = (jnp.asarray(x) for x in b["inputs"])
@@ -183,8 +185,24 @@ def main():
         st2, losses = run_block(state, images, mask, targets)
         float(losses[-1])
         dt = (time.time() - t0) / args.block_steps
+        buckets[f"{s[0]}x{s[1]}"] = round(1.0 / dt, 3)
         print(f"  {s[0]:4d}x{s[1]:4d}: {1.0 / dt:5.2f} steps/s "
               f"({dt * 1000:6.1f} ms/step, bs{args.batch_size} fp32)",
+              flush=True)
+    # machine-readable record: bench.py echoes this into every BENCH
+    # round record so multi-scale training perf is diffable round-over-round
+    # (VERDICT r4 #5)
+    if not args.tiny:
+        rec = {"recorded": time.strftime("%Y-%m-%d %H:%M"),
+               "unit": "train steps/sec/chip",
+               "config": f"detr multiscale bs{args.batch_size} fp32 "
+                         f"scan-block {args.block_steps}",
+               "buckets": buckets}
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "docs", "geometry_demo.json")
+        with open(out_path, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"[geometry] record -> {os.path.normpath(out_path)}",
               flush=True)
     print("[geometry] PASS", flush=True)
 

@@ -115,3 +115,26 @@ def test_eval_on_coco_panoptic_deformable(capsys):
                        "--limit_batches", "1", "--size", "96", "128"])
     out = capsys.readouterr().out
     assert "[eval_on_coco] PQ=" in out
+
+
+@pytest.mark.slow
+def test_raft_train_then_eval_from_checkpoint(capsys):
+    """RAFT counterpart of the happy path above: train 2 steps on the
+    chairs sample, then eval_on_sintel FROM that run's checkpoint. Guards
+    the restore_tree path (a fresh no-optimizer state cannot restore a
+    trained checkpoint — opt_state structure mismatch, caught by the
+    round-5 eval rehearsal)."""
+    from aloception_tpu.commands import train_on_chairs, eval_on_sintel
+    ckpt_dir = train_on_chairs.main(
+        ["--cpu", "--sample", "--tiny", "--max_steps", "2",
+         "--batch_size", "2", "--iters", "2"])
+    out = capsys.readouterr().out
+    assert "[train_on_chairs] done: step=2" in out
+    epe = eval_on_sintel.main(
+        ["--cpu", "--sample", "--tiny", "--iters", "2",
+         "--ckpt_dir", ckpt_dir, "--limit_samples", "2"])
+    out = capsys.readouterr().out
+    assert "[eval] restored step 2" in out
+    assert "[eval_on_sintel] EPE=" in out
+    import math
+    assert math.isfinite(epe)

@@ -137,14 +137,12 @@ def test_panoptic_train_step_learns():
     assert jax.tree.reduce(max, deltas) == 0.0
 
 
-@pytest.mark.slow
-def test_panoptic_overfit_reaches_positive_pq():
-    """VERDICT r3 #9: the last model family without an end-to-end learning
-    proof through the METRIC path. Train an UNFROZEN tiny DetrPanoptic on a
-    fixed 2-object scene, then run the real inference_with_masks ->
-    PQMetrics pipeline (instance-level matching, panopticapi void rule) and
-    require PQ > 0 — i.e. at least one class-correct mask TP at IoU>0.5.
-    Reference criterion semantics: alonet/detr_panoptic/criterion.py:78."""
+def _overfit_panoptic_then_pq(hidden_dim, num_layers, dim_ff, steps, lr,
+                              iou_threshold):
+    """Train an UNFROZEN tiny DetrPanoptic on a fixed 2-object scene, then
+    run the real inference_with_masks -> PQMetrics pipeline (instance-level
+    matching, panopticapi void rule) and return the PQ table. Shared body
+    of the two overfit proofs below."""
     from aloception_tpu.aloscene import Labels, Mask
     from aloception_tpu.metrics.pq_metrics import PQMetrics
     from aloception_tpu.train.state import make_train_state, make_optimizer
@@ -164,14 +162,15 @@ def test_panoptic_overfit_reaches_positive_pq():
         "valid": jnp.asarray([[True, True]]),
         "masks": jnp.asarray(masks),
     }
-    detector = Detr(num_classes=4, hidden_dim=32, num_queries=8, nheads=4,
-                    num_encoder_layers=1, num_decoder_layers=1,
-                    dim_feedforward=64, stage_sizes=(1, 1, 1, 1),
+    detector = Detr(num_classes=4, hidden_dim=hidden_dim, num_queries=8,
+                    nheads=4, num_encoder_layers=num_layers,
+                    num_decoder_layers=num_layers, dim_feedforward=dim_ff,
+                    stage_sizes=(1, 1, 1, 1),
                     return_intermediate=True, dropout=0.0)
     model = DetrPanoptic(detector=detector, freeze_detector=False)
     images = jnp.asarray(img)
     params = model.init(jax.random.PRNGKey(0), images)
-    tx = make_optimizer(lr=3e-3, lr_backbone=3e-3, weight_decay=1e-4,
+    tx = make_optimizer(lr=lr, lr_backbone=lr, weight_decay=1e-4,
                         grad_clip=0.1)
     state = make_train_state(model, params, tx=tx)
 
@@ -186,7 +185,7 @@ def test_panoptic_overfit_reaches_positive_pq():
         return state.apply_gradients(grads=grads), metrics
 
     state, m0 = step(state)
-    for _ in range(400):
+    for _ in range(steps):
         state, m = step(state)
     mask0 = float(m0["loss_DICE"]) + float(m0["loss_focal"])
     mask1 = float(m["loss_DICE"]) + float(m["loss_focal"])
@@ -199,14 +198,39 @@ def test_panoptic_overfit_reaches_positive_pq():
     t_mask = Mask(masks[0], labels=Labels(
         np.array([0.0, 2.0], np.float32),
         labels_names=["a", "b", "c", "d"]))
-    # iou_threshold 0.35 (not the COCO 0.5): a 1-layer 32-dim head on a
-    # 64px scene converges to coarse masks (measured IoU ~0.39/0.50 at
-    # step 400, probe /tmp round-4); the matching machinery (instance
-    # matching, void rule, per-class averages) is threshold-independent
-    # and that machinery + end-to-end learning is what this test proves.
-    pq = PQMetrics(iou_threshold=0.35)
+    pq = PQMetrics(iou_threshold=iou_threshold)
     pq.add_sample(pred_masks, t_mask)
-    result = pq.pq_average()
+    return pq.pq_average()
+
+
+@pytest.mark.slow
+def test_panoptic_overfit_reaches_positive_pq():
+    """VERDICT r3 #9: the last model family without an end-to-end learning
+    proof through the METRIC path — PQ > 0 means at least one class-correct
+    mask TP. Reference criterion semantics:
+    alonet/detr_panoptic/criterion.py:78.
+
+    iou_threshold 0.35 (not the COCO 0.5): a 1-layer 32-dim head on a
+    64px scene converges to coarse masks (measured IoU ~0.39/0.50 at
+    step 400, probe /tmp round-4); the matching machinery (instance
+    matching, void rule, per-class averages) is threshold-independent
+    and that machinery + end-to-end learning is what this test proves.
+    The COCO-strict variant below closes the gap at IoU 0.5."""
+    result = _overfit_panoptic_then_pq(hidden_dim=32, num_layers=1,
+                                       dim_ff=64, steps=400, lr=3e-3,
+                                       iou_threshold=0.35)
+    assert result["pq"] > 0.0, result
+
+
+@pytest.mark.slow
+def test_panoptic_overfit_reaches_positive_pq_coco_iou():
+    """VERDICT r4 #6: the same proof at the COCO-standard IoU > 0.5
+    matching bar (reference alonet/detr_panoptic/criterion.py:78 /
+    panopticapi semantics) — a 2-layer 64-dim head converges to masks
+    sharp enough that no relaxation is needed."""
+    result = _overfit_panoptic_then_pq(hidden_dim=64, num_layers=2,
+                                       dim_ff=128, steps=800, lr=3e-3,
+                                       iou_threshold=0.5)
     assert result["pq"] > 0.0, result
 
 
