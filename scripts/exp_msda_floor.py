@@ -195,6 +195,10 @@ def staged_op(value, shapes, loc, w, stage, tile_q=128):
         out_specs=pl.BlockSpec((1, 1, Tq, C), lambda b, h, t: (b, h, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nH, Lq_p, C), value.dtype),
+        # staged variants keep extra planes live (anti-DCE reductions);
+        # raise the scoped-vmem budget so they compile at Tq=128
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 2**20),
     )(value_h, idx, cw)
     return out.transpose(0, 2, 1, 3).reshape(B, Lq_p, nH * C)[:, :Lq]
 
@@ -252,7 +256,12 @@ def main():
         f = jax.jit(lambda v, st=stage: v + staged_op(
             v, lvls, loc, w, st, args.tile_q
         ).reshape(B, Lv, nH, base_C).astype(v.dtype) * 1e-9)
-        ms = timed(f, value, label=f"stage={stage}")
+        try:
+            ms = timed(f, value, label=f"stage={stage}")
+        except Exception as e:
+            print(f"stage={stage}: FAILED {str(e).splitlines()[0][:140]}",
+                  flush=True)
+            continue
         results[stage] = ms
         print(f"  -> {ms * 1e-3 * MHZ * 1e6 / n_q:.1f} cycles/query",
               flush=True)
@@ -263,18 +272,25 @@ def main():
         f = jax.jit(lambda v: v + staged_op(
             v, lvls, loc, w, "sample", args.tile_q
         ).reshape(B, Lv, nH, Cw).astype(v.dtype) * 1e-9)
-        ms = timed(f, value, label=f"sample C={Cw}")
+        try:
+            ms = timed(f, value, label=f"sample C={Cw}")
+        except Exception as e:
+            print(f"sample C={Cw}: FAILED {str(e).splitlines()[0][:140]}",
+                  flush=True)
+            continue
         print(f"  -> {ms * 1e-3 * MHZ * 1e6 / n_q:.1f} cycles/query",
               flush=True)
 
-    red = results["reduce0"]
-    print("\nattribution (cycles/query, reduce-corrected):", flush=True)
-    for name, ms in (("build", results["build"] - red),
-                     ("ctor_matmul", results["ctor"] - results["build"]),
-                     ("sample_matmul", results["sample"]),
-                     ("full", results["full"])):
-        print(f"  {name:14s} {ms * 1e-3 * MHZ * 1e6 / n_q:7.1f}"
-              f"   ({ms:.2f} ms)", flush=True)
+    if all(k in results for k in ("reduce0", "build", "ctor", "sample",
+                                  "full")):
+        red = results["reduce0"]
+        print("\nattribution (cycles/query, reduce-corrected):", flush=True)
+        for name, ms in (("build", results["build"] - red),
+                         ("ctor_matmul", results["ctor"] - results["build"]),
+                         ("sample_matmul", results["sample"]),
+                         ("full", results["full"])):
+            print(f"  {name:14s} {ms * 1e-3 * MHZ * 1e6 / n_q:7.1f}"
+                  f"   ({ms:.2f} ms)", flush=True)
 
 
 if __name__ == "__main__":
