@@ -117,9 +117,14 @@ class RAFTBase(nn.Module):
 
         corr_ch = self.corr_levels * (2 * self.corr_radius + 1) ** 2
         Update = SmallUpdateBlock if self.small else BasicUpdateBlock
+        # ONE module instance, used both inside nn.scan (params broadcast)
+        # and for the final only_last step outside it — flax binds params by
+        # name, so every call shares the same "update_block/..." tree and
+        # torch checkpoint conversion stays layout-identical.
+        update_block = Update(corr_channels=corr_ch, hidden_dim=hdim,
+                              dtype=self.dtype, name="update_block")
 
-        def body(mdl, carry, _):
-            net, coords1 = carry
+        def step(net, coords1, with_mask):
             coords1 = jax.lax.stop_gradient(coords1)  # detach (raft.py:184)
             # gather-free one-hot lookup: ~20x faster than the block
             # dynamic-slice variant on TPU (0.6 vs 12.2 ms/call at 368x496
@@ -127,11 +132,49 @@ class RAFTBase(nn.Module):
             corr = corr_lookup_onehot(pyramid, coords1,
                                       radius=self.corr_radius)
             flow = coords1 - coords0
-            net, mask, delta = Update(
-                corr_channels=corr_ch, hidden_dim=hdim, dtype=self.dtype,
-                name="update_block")(net, inp, corr.astype(self.dtype),
-                                     flow.astype(self.dtype))
-            coords1 = coords1 + delta.astype(jnp.float32)
+            net, mask, delta = update_block(net, inp,
+                                            corr.astype(self.dtype),
+                                            flow.astype(self.dtype),
+                                            with_mask=with_mask)
+            return net, coords1 + delta.astype(jnp.float32), mask
+
+        scan_kw = dict(variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True})
+
+        if only_last:
+            # Inference fast path (round-5 hardware result,
+            # scripts/exp_raft_floor.py, B=2 368x496 it=12 bf16): the mask
+            # head + convex upsample + full-res emission inside every scan
+            # iteration cost 35% e2e when only the final flow is consumed.
+            # Restructure: scan iters-1 carry-only steps without the mask
+            # head, then ONE final step with mask + ONE upsample
+            # (38.2 -> 49.7 pairs/s; exact math — the mask never feeds the
+            # carry; bf16 residual vs the one-scan form is reschedule
+            # rounding only). The pyramid is also kept in self.dtype here:
+            # the lookup output is cast to self.dtype for the update block
+            # anyway, and the bf16 single-pass einsum adds +15.5%
+            # (-> 58.8 pairs/s) for a 2.1e-3 flow rel diff. The training
+            # path below is untouched (f32 pyramid, per-iteration flows).
+            pyramid = [p.astype(self.dtype) for p in pyramid]
+
+            def body_nomask(mdl, carry, _):
+                net, coords1 = carry
+                net, coords1, _ = step(net, coords1, False)
+                return (net, coords1), None
+
+            if iters > 1:
+                (net, coords1), _ = nn.scan(
+                    body_nomask, length=iters - 1,
+                    **scan_kw)(self, (net, coords1), None)
+            net, coords1, mask = step(net, coords1, True)
+            if mask is None:
+                return upflow8(coords1 - coords0)
+            return convex_upsample(coords1 - coords0,
+                                   mask.astype(jnp.float32))
+
+        def body(mdl, carry, _):
+            net, coords1 = carry
+            net, coords1, mask = step(net, coords1, True)
             if mask is None:
                 flow_up = upflow8(coords1 - coords0)
             else:
@@ -146,11 +189,7 @@ class RAFTBase(nn.Module):
         # param path at "update_block/..." so torch checkpoint conversion is
         # layout-identical to the unrolled form.
         (net, coords1), flows = nn.scan(
-            body, variable_broadcast="params",
-            split_rngs={"params": False, "dropout": True},
-            length=iters)(self, (net, coords1), None)
-        if only_last:
-            return flows[-1]
+            body, length=iters, **scan_kw)(self, (net, coords1), None)
         # unstack to the reference's list-of-predictions interface
         return [flows[i] for i in range(iters)]
 

@@ -108,12 +108,19 @@ class BasicUpdateBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow) -> Tuple:
+    def __call__(self, net, inp, corr, flow, with_mask: bool = True) -> Tuple:
         motion = BasicMotionEncoder(self.corr_channels, dtype=self.dtype,
                                     name="encoder")(flow, corr)
         x = jnp.concatenate([inp, motion], axis=-1)
         net = SepConvGRU(self.hidden_dim, dtype=self.dtype, name="gru")(net, x)
         delta_flow = FlowHead(256, dtype=self.dtype, name="flow_head")(net)
+        # with_mask=False: the mask head never feeds the GRU carry, so
+        # only_last inference skips it on all but the final iteration
+        # (raft.py only_last path; +23% e2e on hardware, round-5
+        # scripts/exp_raft_floor.py — the params are still created by the
+        # final with_mask=True call at the same "update_block/..." paths).
+        if not with_mask:
+            return net, None, delta_flow
         # convex-upsample mask, scaled .25 like the reference (update.py:120)
         mask = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype,
                                name="mask_conv1")(net))
@@ -128,7 +135,10 @@ class SmallUpdateBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow) -> Tuple:
+    def __call__(self, net, inp, corr, flow, with_mask: bool = True) -> Tuple:
+        # with_mask accepted for interface parity with BasicUpdateBlock;
+        # the small block has no mask head (mask is always None).
+        del with_mask
         motion = SmallMotionEncoder(self.corr_channels, dtype=self.dtype,
                                     name="encoder")(flow, corr)
         x = jnp.concatenate([inp, motion], axis=-1)

@@ -35,9 +35,15 @@ Run on the real chip (one TPU job at a time, tunnel-safe difference
 timing — see memory: block_until_ready does not sync through axon).
 """
 
+import sys
 import time
 
 import numpy as np
+
+# --f32 runs the parity anchor only, with the whole model in f32: confirms
+# the lastup restructure is exact math (any bf16-run residual is then
+# attributable to XLA rescheduling the final step outside the scan).
+F32_MODE = "--f32" in sys.argv
 
 
 def timed(fn, x0, iters=8, label=""):
@@ -75,12 +81,13 @@ def main():
                                                 corr_lookup_onehot)
     from aloception_tpu.ops.warp import coords_grid
 
+    MDT = jnp.float32 if F32_MODE else jnp.bfloat16
     B, H, W = 2, 368, 496
     ITERS = 12
     rng = np.random.RandomState(0)
     f1 = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
     f2 = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
-    model = RAFT(dtype=jnp.bfloat16)
+    model = RAFT(dtype=MDT)
     variables = model.init(jax.random.PRNGKey(0), f1[:1], f2[:1], iters=1)
     params = variables["params"]
     # cnet carries BatchNorm running stats; fnet is instance-norm only
@@ -89,12 +96,12 @@ def main():
         cnet_vars["batch_stats"] = variables["batch_stats"]["cnet"]
 
     fnet = BasicEncoder(output_dim=256, norm_fn="instance",
-                        dtype=jnp.bfloat16)
-    cnet = BasicEncoder(output_dim=256, norm_fn="batch", dtype=jnp.bfloat16)
+                        dtype=MDT)
+    cnet = BasicEncoder(output_dim=256, norm_fn="batch", dtype=MDT)
     hdim = cdim = 128
     corr_ch = 4 * 9 ** 2
     update = BasicUpdateBlock(corr_channels=corr_ch, hidden_dim=hdim,
-                              dtype=jnp.bfloat16)
+                              dtype=MDT)
     upd_vars = {"params": params["update_block"]}
 
     def mirror(frame1, frame2, pyramid_dtype):
@@ -119,8 +126,8 @@ def main():
             corr = corr_lookup_onehot(pyramid, coords1, radius=4)
             flow = coords1 - coords0
             net, mask, delta = update.apply(
-                upd_vars, net, inp, corr.astype(jnp.bfloat16),
-                flow.astype(jnp.bfloat16))
+                upd_vars, net, inp, corr.astype(MDT),
+                flow.astype(MDT))
             return net, coords1 + delta.astype(jnp.float32), mask
 
         def body(carry, _):
@@ -137,12 +144,17 @@ def main():
     # ---- parity anchors (TPU vs TPU; the restructure is exact math) ----
     shipped_flow = model.apply(variables, f1, f2, iters=ITERS,
                                only_last=True)
-    for name, dt in (("lastup", jnp.float32), ("lastup16", jnp.bfloat16)):
+    variants = ((("lastup", jnp.float32),) if F32_MODE else
+                (("lastup", jnp.float32), ("lastup16", jnp.bfloat16)))
+    for name, dt in variants:
         flow = mirror(f1, f2, dt)
         scale = float(jnp.max(jnp.abs(shipped_flow)))
         rel = float(jnp.max(jnp.abs(flow - shipped_flow))) / max(scale, 1e-9)
         print(f"parity {name:9s} vs shipped: max rel {rel:.2e} "
               f"(flow scale {scale:.2f})", flush=True)
+
+    if F32_MODE:
+        return  # parity anchor only
 
     # ---- e2e timing, bench-identical chaining ----
     def chain(fn):

@@ -93,6 +93,29 @@ def test_raft_forward_shapes(tiny_raft):
     assert flows[-1].shape == (1, 64, 64, 2)
 
 
+def test_raft_only_last_matches_final_flow(tiny_raft):
+    """only_last=True takes the restructured inference path (scan without
+    the mask head + one final masked step, raft.py round-5) — in f32 it must
+    reproduce flows[-1] of the reference-shaped all-flows path exactly
+    (modulo compile scheduling)."""
+    model, params = tiny_raft
+    rng = np.random.RandomState(1)
+    f1 = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+    f2 = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+    flows = jax.jit(lambda p, a, b: model.apply(p, a, b, iters=3))(
+        params, f1, f2)
+    last = jax.jit(lambda p, a, b: model.apply(p, a, b, iters=3,
+                                               only_last=True))(
+        params, f1, f2)
+    assert last.shape == flows[-1].shape
+    scale = float(jnp.max(jnp.abs(flows[-1]))) + 1e-9
+    rel = float(jnp.max(jnp.abs(last - flows[-1]))) / scale
+    assert rel < 1e-5, rel
+    # iters=1: the fast path skips the scan entirely
+    one = model.apply(params, f1, f2, iters=1, only_last=True)
+    assert one.shape == last.shape
+
+
 def test_raft_sequence_loss_and_grad(tiny_raft):
     model, params = tiny_raft
     rng = np.random.RandomState(0)
