@@ -26,20 +26,21 @@ if _REPO not in sys.path:
 import numpy as np
 
 
-def _run(build, make_inputs, outs, cpu_build=None):
+def _run(build, make_inputs, outs, cpu_build=None, apply_kwargs=None):
     import jax
 
+    kw = apply_kwargs or {}
     model, params_key = build()
     cpu_model = model if cpu_build is None else cpu_build()[0]
     inputs = make_inputs()
     with jax.default_matmul_precision("highest"):
         params = model.init(jax.random.PRNGKey(params_key), *inputs)
 
-        f = jax.jit(lambda p, *xs: model.apply(p, *xs))
+        f = jax.jit(lambda p, *xs: model.apply(p, *xs, **kw))
         t = outs(f(params, *inputs))
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            c = outs(jax.jit(lambda p, *xs: cpu_model.apply(p, *xs))(
+            c = outs(jax.jit(lambda p, *xs: cpu_model.apply(p, *xs, **kw))(
                 jax.device_put(params, cpu),
                 *[jax.device_put(x, cpu) for x in inputs]))
     report = {}
@@ -112,12 +113,19 @@ def main(smoke: bool = False) -> float:
          lambda: deformable("block")),
         ("raft", raft, raft_in,
          lambda o: {"flow": o if not isinstance(o, (list, tuple)) else o[-1]}),
+        # the only_last inference fast path (raft.py:144-173) is the shape
+        # bench.py times — its restructured scan (carry-only body + one
+        # final masked step) must be audited on the real backend too, not
+        # just the training-path scan above (round-5 RAFT restructure).
+        ("raft_lastup", raft, raft_in, lambda o: {"flow": o}, None,
+         {"only_last": True}),
     ]
     worst = 0.0
     for name, build, make_inputs, outs, *extra in checks:
         try:
             rep = _run(build, make_inputs, outs,
-                       cpu_build=extra[0] if extra else None)
+                       cpu_build=extra[0] if extra else None,
+                       apply_kwargs=extra[1] if len(extra) > 1 else None)
             for k, v in rep.items():
                 flag = "" if v < 1e-3 else "  <-- SUSPECT"
                 print(f"{name:11s} {k:12s} max rel diff {v:.2e}{flag}",
