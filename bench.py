@@ -214,7 +214,9 @@ def _device_probe(timeout_s: int = 240) -> bool:
         return False
 
 
-def _parity_gate(smoke: bool = False) -> bool:
+def _parity_gate(smoke: bool = False,
+                 scripts=("tpu_parity_msda.py", "tpu_parity_models.py")
+                 ) -> bool:
     """Run the TPU-vs-CPU-oracle parity audits BEFORE any timing: the
     round-2 backend-miscompile episode (DEVELOPMENT.md "silently WRONG on
     real TPU") proved a wrong-but-fast kernel would otherwise record a
@@ -229,7 +231,9 @@ def _parity_gate(smoke: bool = False) -> bool:
     silently regress again.
 
     ``smoke=True`` passes ``--smoke`` to the scripts (tiny dims) — used by
-    the CPU test to exercise this exact subprocess path.
+    the CPU test to exercise this exact subprocess path. ``scripts`` narrows
+    the run (the default-suite mechanics test runs the msda script only;
+    the slow-marked variant and every real bench run cover both).
     """
     import os
     import subprocess
@@ -239,7 +243,7 @@ def _parity_gate(smoke: bool = False) -> bool:
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
     ok = True
     residuals = {}
-    for script in ("tpu_parity_msda.py", "tpu_parity_models.py"):
+    for script in scripts:
         path = os.path.join(here, "scripts", script)
         print(f"[bench] parity gate: {script} ...", file=sys.stderr,
               flush=True)

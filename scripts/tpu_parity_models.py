@@ -51,13 +51,14 @@ def _run(build, make_inputs, outs, cpu_build=None, apply_kwargs=None):
     return report
 
 
-def main(smoke: bool = False) -> float:
+def main(smoke: bool = False, collect_only: bool = False) -> float:
     """Returns the worst max-rel-diff; exit code 0 iff < 1e-3 (bench.py
     gates perf records on this). ``smoke`` forces CPU + smaller inputs so
     tests/test_bench_gate.py can exercise the exact subprocess path in
-    seconds; the models are already tiny, only the device changes much."""
+    seconds; the models are already tiny, only the device changes much.
+    ``collect_only`` imports + constructs every audited model and exits."""
     import jax
-    if smoke:
+    if smoke or collect_only:
         # sitecustomize pre-imports jax, so JAX_PLATFORMS env is captured
         # too late (tests/conftest.py) — force CPU via config instead.
         jax.config.update("jax_platforms", "cpu")
@@ -103,6 +104,20 @@ def main(smoke: bool = False) -> float:
         return (jnp.asarray(rng.randn(1, rH, rW, 3), jnp.float32),
                 jnp.asarray(rng.randn(1, rH, rW, 3), jnp.float32))
 
+    if collect_only:
+        # import + construct every model under audit, then stop before any
+        # device work: a seconds-cheap default-suite guard against the exact
+        # bug class that nulled BENCH_r04 (module-level import failures or
+        # constructor signature drift in THIS script), while the full run
+        # stays on the real bench path / slow-marked test.
+        for name, build in [("detr", detr),
+                            ("deformable", lambda: deformable("pallas")),
+                            ("raft", raft)]:
+            build()
+            print(f"collect {name}: OK", flush=True)
+        print("COLLECT OK", flush=True)
+        return 0.0
+
     checks = [
         ("detr", detr, detr_in,
          lambda o: {"pred_logits": o["pred_logits"],
@@ -140,4 +155,6 @@ def main(smoke: bool = False) -> float:
 
 
 if __name__ == "__main__":
-    sys.exit(0 if main(smoke="--smoke" in sys.argv[1:]) < 1e-3 else 1)
+    sys.exit(0 if main(smoke="--smoke" in sys.argv[1:],
+                       collect_only="--collect" in sys.argv[1:]) < 1e-3
+             else 1)

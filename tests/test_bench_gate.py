@@ -38,22 +38,57 @@ def test_parity_script_runs_bare_from_repo_root():
     assert "MSDA parity: OK" in r.stdout
 
 
-def test_parity_gate_subprocess_mechanics():
-    """Call the exact _parity_gate() the driver's bench run goes through,
-    in smoke mode (tiny dims, CPU): both scripts must get past the import,
-    run, and report residual lines into the BENCH record."""
+def _import_bench():
     sys.path.insert(0, REPO)
     try:
         import bench
     finally:
         sys.path.remove(REPO)
+    return bench
+
+
+def test_parity_gate_subprocess_mechanics():
+    """Call the exact _parity_gate() the driver's bench run goes through,
+    in smoke mode (tiny dims, CPU): the script must get past the import,
+    run, and report residual lines into the BENCH record. msda-only here
+    (exactly VERDICT r4 #1's ask) to keep the default suite fast; the
+    slow-marked variant below covers both scripts."""
+    bench = _import_bench()
+    ok = bench._parity_gate(smoke=True, scripts=("tpu_parity_msda.py",))
+    assert ok, "parity gate failed in smoke mode"
+    res = bench._parity_gate.residuals
+    assert set(res) == {"tpu_parity_msda.py"}
+    # the residual evidence lines must actually be captured, not empty
+    assert any("vs CPU-lax" in ln for ln in res["tpu_parity_msda.py"])
+    assert any("grad" in ln for ln in res["tpu_parity_msda.py"])
+
+
+def test_models_parity_script_collects_bare():
+    """Driver-env import guard for the models gate script: spawned bare
+    from the repo root with no PYTHONPATH, --collect imports + constructs
+    every audited model (detr / deformable-pallas / raft) in seconds —
+    the r4 bug class (ModuleNotFoundError at sys.path[0]=scripts/) cannot
+    recur silently for this script either."""
+    r = subprocess.run(
+        [sys.executable, os.path.join("scripts", "tpu_parity_models.py"),
+         "--collect"],
+        capture_output=True, text=True, cwd=REPO, env=_clean_env(),
+        timeout=300)
+    assert "ModuleNotFoundError" not in r.stderr, r.stderr
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "COLLECT OK" in r.stdout
+
+
+@pytest.mark.slow
+def test_parity_gate_subprocess_mechanics_full():
+    """Both gate scripts through _parity_gate(smoke=True) — the exact
+    two-script set every real bench run executes."""
+    bench = _import_bench()
     ok = bench._parity_gate(smoke=True)
     assert ok, "parity gate failed in smoke mode"
     res = bench._parity_gate.residuals
     assert set(res) == {"tpu_parity_msda.py", "tpu_parity_models.py"}
-    # the residual evidence lines must actually be captured, not empty
-    assert any("vs CPU-lax" in ln for ln in res["tpu_parity_msda.py"])
-    assert any("grad" in ln for ln in res["tpu_parity_msda.py"])
+    assert any("rel diff" in ln for ln in res["tpu_parity_models.py"])
 
 
 def test_bench_cpu_tiny_single_model():
